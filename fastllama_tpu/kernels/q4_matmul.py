@@ -1,0 +1,175 @@
+"""Fused q4_0 dequant + matmul — the framework's hot kernel.
+
+Replaces the reference's quantized matmul (`ggml_compute_forward_mul_mat_q_f32`,
+/root/reference/lib/ggml.c:7928-8170: int4×int8 SIMD dot over row-split
+threads). TPU-native design instead: packed nibbles and scales are the only
+weight bytes that cross HBM→VMEM; dequantization happens in VMEM on the VPU
+and feeds bf16 tiles straight to the MXU with f32 accumulation.
+
+Layout contract (see quant/tensor.py): W is [K, N] with split-K packing, so
+``lo = qs & 0xF`` / ``hi = qs >> 4`` are the two K-halves of each 32-block
+under a fixed reindexing of K. The activation is pre-split on the host of the
+kernel into x_lo/x_hi (cheap XLA slices of [M, K]); the kernel then runs two
+interleave-free MXU passes per tile:
+
+    acc += x_lo_tile @ dequant(lo) + x_hi_tile @ dequant(hi)
+
+Two implementations with identical semantics:
+  * ``q4_matmul_xla``   — jnp dequant + dot; XLA fuses. Used for prefill
+                          (compute-bound, large M) and as CPU/test fallback.
+  * ``q4_matmul_pallas``— the Pallas kernel. Used for decode (bandwidth-bound).
+
+``q4_matmul`` picks automatically.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..quant.tensor import QBLOCK, QuantMatmulWeight, dequant_matmul_weight
+
+HALF = QBLOCK // 2  # 16
+
+
+def _dot_precision(w_dtype):
+    """f32 weights (parity/test mode) must not be silently downcast by the
+    backend's default matmul precision; bf16 runs native MXU passes."""
+    return jax.lax.Precision.HIGHEST if jnp.dtype(w_dtype) == jnp.float32 else None
+
+
+def _pick_tile(dim: int, candidates=(512, 256, 128)) -> int:
+    for c in candidates:
+        if dim % c == 0:
+            return c
+    # Fall back to the dim itself (small matrices in tests).
+    return dim
+
+
+def split_activation(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Split x [..., K] into the block-halves matching split-K packing.
+
+    x_lo[..., 16*b + j] = x[..., 32*b + j]
+    x_hi[..., 16*b + j] = x[..., 32*b + 16 + j]
+    """
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    xb = x.reshape(*lead, k // QBLOCK, QBLOCK)
+    x_lo = xb[..., :HALF].reshape(*lead, k // 2)
+    x_hi = xb[..., HALF:].reshape(*lead, k // 2)
+    return x_lo, x_hi
+
+
+def _dequant_half(qs_half: jax.Array, scales: jax.Array, acc_dtype) -> jax.Array:
+    """[BK/2, BN] codes (0..15) + [BK/32, BN] scales -> bf16 weights."""
+    w = qs_half.astype(jnp.float32) - 8.0
+    scale_rep = jnp.repeat(scales, HALF, axis=0)  # [BK/2, BN] f32
+    return (w * scale_rep).astype(acc_dtype)
+
+
+def _q4mm_kernel(x_lo_ref, x_hi_ref, qs_ref, sc_ref, out_ref, *, w_dtype):
+    k_idx = pl.program_id(1)
+
+    @pl.when(k_idx == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    qs = qs_ref[:]
+    sc = sc_ref[:].astype(jnp.float32)
+    w_lo = _dequant_half((qs & 0x0F), sc, w_dtype)
+    w_hi = _dequant_half((qs >> 4), sc, w_dtype)
+
+    prec = _dot_precision(w_dtype)
+    acc = jnp.dot(x_lo_ref[:].astype(w_dtype), w_lo,
+                  preferred_element_type=jnp.float32, precision=prec)
+    acc += jnp.dot(x_hi_ref[:].astype(w_dtype), w_hi,
+                   preferred_element_type=jnp.float32, precision=prec)
+    out_ref[:] += acc
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "block_k", "interpret", "w_dtype"))
+def q4_matmul_pallas(x: jax.Array, qs: jax.Array, scales: jax.Array,
+                     *, block_n: int = 0, block_k: int = 0,
+                     interpret: bool = False, w_dtype=jnp.bfloat16) -> jax.Array:
+    """y[M, N] = x[M, K] @ dequant(W[K, N]); f32 output.
+
+    Args:
+      x: [M, K] activations (any float dtype; cast to w_dtype for the MXU).
+      qs/scales: device layout per QuantMatmulWeight.
+    """
+    m, k = x.shape
+    kh, n = qs.shape
+    assert kh * 2 == k, (x.shape, qs.shape)
+
+    bn = block_n or _pick_tile(n)
+    bk = block_k or _pick_tile(k, (1024, 512, 256, 128, 64, 32))
+    grid = (n // bn, k // bk)
+
+    x_lo, x_hi = split_activation(x)
+
+    kernel = functools.partial(_q4mm_kernel, w_dtype=w_dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m, bk // 2), lambda i, kk: (0, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, bk // 2), lambda i, kk: (0, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 2, bn), lambda i, kk: (kk, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // QBLOCK, bn), lambda i, kk: (kk, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, bn), lambda i, kk: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=kh * n + (k // QBLOCK) * n * 4 + m * k * 2 + m * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x_lo, x_hi, qs, scales)
+    return out
+
+
+def q4_matmul_xla(x: jax.Array, w: QuantMatmulWeight,
+                  w_dtype=jnp.bfloat16) -> jax.Array:
+    """Dequant-then-dot; XLA fuses the dequant chain into the matmul."""
+    dense = dequant_matmul_weight(w, dtype=w_dtype)
+    return jnp.dot(x.astype(w_dtype), dense, preferred_element_type=jnp.float32,
+                   precision=_dot_precision(w_dtype))
+
+
+# Heuristic crossover: below this M the op is HBM-bound and the Pallas kernel
+# wins by never materializing dense weights; above it XLA's matmul pipeline
+# (which amortizes dequant across M) is at least as good.
+_PALLAS_MAX_M = 64
+
+
+def q4_matmul(x: jax.Array, w: QuantMatmulWeight, *,
+              use_pallas: bool | None = None,
+              w_dtype=jnp.bfloat16,
+              interpret: bool = False) -> jax.Array:
+    """Dispatching entry point. x: [..., K] -> [..., N] f32."""
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    m = 1
+    for d in lead:
+        m *= d
+    x2 = x.reshape(m, k)
+
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu") and m <= _PALLAS_MAX_M
+    if use_pallas:
+        # Pad M up to the f32 sublane tile so tiny decode batches map cleanly.
+        m_pad = max(8, -(-m // 8) * 8)
+        if m_pad != m:
+            x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
+        y = q4_matmul_pallas(x2, w.qs, w.scales, interpret=interpret,
+                             w_dtype=w_dtype)[:m]
+    else:
+        y = q4_matmul_xla(x2, w, w_dtype=w_dtype)
+    return y.reshape(*lead, y.shape[-1])

@@ -1,0 +1,66 @@
+"""Equivalence tests: Pallas kernel (interpret mode on CPU) vs XLA fallback
+vs an exact numpy oracle of dequant-then-matmul."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fastllama_tpu.quant import q4
+from fastllama_tpu.quant.tensor import make_matmul_weight
+from fastllama_tpu.kernels.q4_matmul import (
+    q4_matmul, q4_matmul_pallas, q4_matmul_xla, split_activation,
+)
+
+
+def _setup(m, k, n, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((m, k)).astype(np.float32)
+    w_dense = rng.standard_normal((n, k)).astype(np.float32) * 0.1
+    codes, scales = q4.quantize_q4_0(w_dense)
+    w = make_matmul_weight(codes, scales)
+    ref_dense = q4.dequantize_q4_0(codes, scales)  # [N, K] f32
+    y_ref = x @ ref_dense.T
+    return jnp.asarray(x), w, y_ref
+
+
+def test_split_activation():
+    x = jnp.arange(64, dtype=jnp.float32).reshape(1, 64)
+    lo, hi = split_activation(x)
+    np.testing.assert_array_equal(np.asarray(lo)[0, :16], np.arange(0, 16))
+    np.testing.assert_array_equal(np.asarray(hi)[0, :16], np.arange(16, 32))
+    np.testing.assert_array_equal(np.asarray(lo)[0, 16:], np.arange(32, 48))
+    np.testing.assert_array_equal(np.asarray(hi)[0, 16:], np.arange(48, 64))
+
+
+def test_xla_matmul_f32_exact():
+    x, w, y_ref = _setup(4, 64, 32)
+    y = q4_matmul_xla(x, w, w_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-5, atol=1e-4)
+
+
+def test_xla_matmul_bf16_close():
+    x, w, y_ref = _setup(8, 128, 64)
+    y = q4_matmul_xla(x, w, w_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=3e-2, atol=3e-1)
+
+
+def test_pallas_interpret_matches_xla():
+    x, w, y_ref = _setup(8, 128, 128)
+    y_p = q4_matmul_pallas(x, w.qs, w.scales, interpret=True,
+                           w_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(y_p), y_ref, rtol=1e-5, atol=1e-4)
+
+
+def test_pallas_interpret_multi_k_tiles():
+    x, w, y_ref = _setup(8, 256, 128)
+    y_p = q4_matmul_pallas(x, w.qs, w.scales, interpret=True,
+                           block_k=64, block_n=128, w_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(y_p), y_ref, rtol=1e-5, atol=1e-4)
+
+
+def test_dispatch_padding_and_lead_dims():
+    x, w, y_ref = _setup(3, 64, 32)
+    x3 = x.reshape(1, 3, 64)
+    y = q4_matmul(x3, w, use_pallas=False, w_dtype=jnp.float32)
+    assert y.shape == (1, 3, 32)
+    np.testing.assert_allclose(np.asarray(y)[0], y_ref, rtol=1e-5, atol=1e-4)
