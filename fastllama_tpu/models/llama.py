@@ -148,14 +148,16 @@ def _attention(x: jax.Array, layer: LayerParams, layer_idx: int,
     k = rope_interleaved(k, positions, cfg.n_rot)
 
     kv_dtype = kv_k.dtype
-    # Write this block's K/V at n_past (positions[:, 0]). All batch rows share
-    # the same offset in the single-stream path; the batched engine uses
-    # per-slot updates (engine/kv.py).
-    start = positions[0, 0]
-    kv_k = jax.lax.dynamic_update_slice(
-        kv_k, k.astype(kv_dtype)[None], (layer_idx, 0, start, 0, 0))
-    kv_v = jax.lax.dynamic_update_slice(
-        kv_v, v.astype(kv_dtype)[None], (layer_idx, 0, start, 0, 0))
+    # Scatter this block's K/V to its absolute positions (the static-shape
+    # mirror of ggml's strided view copy, lib/llama.cpp:336-343). Per-row
+    # positions support both the single-stream path and the continuous-
+    # batching engine (each slot at its own offset); mode='drop' discards
+    # writes past n_ctx (padded bucket tails at the context boundary).
+    b_idx = jnp.arange(b)[:, None]
+    kv_k = kv_k.at[layer_idx, b_idx, positions].set(
+        k.astype(kv_dtype), mode="drop")
+    kv_v = kv_v.at[layer_idx, b_idx, positions].set(
+        v.astype(kv_dtype), mode="drop")
 
     keys = kv_k[layer_idx].astype(jnp.float32)      # [B, S, H, Dh]
     vals = kv_v[layer_idx].astype(jnp.float32)
@@ -189,7 +191,8 @@ def _ffn(x: jax.Array, layer: LayerParams, cfg: ForwardConfig) -> jax.Array:
 
 
 def forward(params: LlamaParams, tokens: jax.Array, n_past: jax.Array,
-            kv_k: jax.Array, kv_v: jax.Array, cfg: ForwardConfig):
+            kv_k: jax.Array, kv_v: jax.Array, cfg: ForwardConfig,
+            last_idx: jax.Array | None = None):
     """The transformer forward pass.
 
     Args:
@@ -197,14 +200,19 @@ def forward(params: LlamaParams, tokens: jax.Array, n_past: jax.Array,
         and cache slots are garbage that later writes overwrite).
       n_past: scalar int32 — number of tokens already in the cache.
       kv_k/kv_v: [L, B, S, H, Dh].
+      last_idx: scalar int32 — index of the last *valid* token within the
+        (possibly padded) T window; defaults to T-1. The non-all-logits
+        output head and the embeddings tap read this row.
     Returns:
       (logits, kv_k, kv_v, embeddings):
         logits [B, T, n_vocab] f32 if cfg.all_logits else [B, 1, n_vocab]
-        embeddings [B, D] f32 — final pre-output hidden of the last token
-        (the reference's embeddings tap, lib/llama.cpp:455-460).
+        embeddings [B, D] f32 — final pre-output hidden of the last valid
+        token (the reference's embeddings tap, lib/llama.cpp:455-460).
     """
     b, t = tokens.shape
     act_dtype = cfg.act_jdtype
+    if last_idx is None:
+        last_idx = jnp.int32(t - 1)
 
     positions = n_past + jnp.arange(t, dtype=jnp.int32)
     positions = jnp.broadcast_to(positions[None, :], (b, t))
@@ -220,18 +228,20 @@ def forward(params: LlamaParams, tokens: jax.Array, n_past: jax.Array,
         x = x + _ffn(ffn_in, layer, cfg)
 
     x = rms_norm(x, params.norm, cfg.rms_eps)
-    embeddings = x[:, -1, :].astype(jnp.float32)
+    x_last = jax.lax.dynamic_slice_in_dim(x, last_idx, 1, axis=1)  # [B,1,D]
+    embeddings = x_last[:, 0, :].astype(jnp.float32)
 
     if cfg.all_logits:
         logits = apply_linear(x, params.output, cfg)
     else:
-        logits = apply_linear(x[:, -1:, :], params.output, cfg)
+        logits = apply_linear(x_last, params.output, cfg)
     return logits.astype(jnp.float32), kv_k, kv_v, embeddings
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("kv_k", "kv_v"))
-def forward_jit(params, tokens, n_past, kv_k, kv_v, cfg: ForwardConfig):
-    return forward(params, tokens, n_past, kv_k, kv_v, cfg)
+def forward_jit(params, tokens, n_past, kv_k, kv_v, cfg: ForwardConfig,
+                last_idx=None):
+    return forward(params, tokens, n_past, kv_k, kv_v, cfg, last_idx)
 
 
 def init_kv_cache(hp: HyperParams, batch: int, n_ctx: int,
