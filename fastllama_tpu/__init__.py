@@ -9,5 +9,10 @@ the reference never had: tensor sharding over a device mesh, paged KV cache,
 and continuous batching.
 """
 from .version import __version__
+from .api import Model
+from .config import FType, HyperParams, RuntimeConfig
+from .engine.logger import DefaultLogger, Logger, ProgressTag
+from .engine.session import FastLlama
 
-__all__ = ["__version__"]
+__all__ = ["__version__", "Model", "FType", "HyperParams", "RuntimeConfig",
+           "Logger", "DefaultLogger", "ProgressTag", "FastLlama"]

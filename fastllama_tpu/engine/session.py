@@ -330,6 +330,18 @@ class FastLlama:
         self.logger.log("reset", "reset completed.\n")
         return res
 
+    # -- LoRA ----------------------------------------------------------------
+
+    def attach_lora(self, filepath: str) -> bool:
+        """Runtime adapter attach (reference: bridge passthrough to
+        Model::attach_lora)."""
+        self.logger.reset()
+        return self.model.attach_lora(filepath)
+
+    def detach_lora(self) -> bool:
+        self.logger.reset()
+        return self.model.detach_lora()
+
     # -- misc parity ---------------------------------------------------------
 
     def dump_vocab(self, filepath: str) -> bool:

@@ -1,0 +1,266 @@
+"""fltpu — the framework's native checkpoint format.
+
+Replaces the reference's GGJT mmap path (include/file_loader.hpp) with a
+TPU-first layout: tensors are stored in the *device* layout (split-K packed
+nibble planes + scale planes, quant/tensor.py), so loading is mmap + per-
+tensor `jax.device_put` with a sharding — no repacking or dequantization on
+the load path. A checkpoint is a directory:
+
+  manifest.json   — hyperparams, tensor table (kind/shape/offsets), version
+  weights.bin     — 64-byte-aligned concatenated tensor payloads
+  vocab.bin       — n_vocab x { len u32, bytes, score f32 }
+
+Tensor names keep the ggml naming scheme (tok_embeddings.weight,
+layers.N.attention.wq.weight, ...) so converter and LoRA mapping stay
+1:1 with the reference's (scripts/convert.py:586-607).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import struct
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import FType, HyperParams
+from ..engine.logger import Logger, NULL_LOGGER, ProgressTag
+from ..engine.tokenizer import Vocab
+from ..models.llama import LayerParams, LlamaParams
+from ..quant.tensor import (
+    QuantEmbedding, QuantMatmulWeight, split_pack_lastdim,
+)
+from ..quant.q4 import QK4_0
+
+FORMAT = "fltpu.v1"
+ALIGN = 64
+
+# kind -> how the payload arrays are laid out
+# q4_matmul:    qs uint8 [K/2, N] split-K packed, scales f32 [K/32, N]
+# q4_embedding: qs uint8 [V, D/2] split-K packed, scales f32 [V, D/32]
+# dense:        raw array, stored shape as-is (matmul weights stored [K, N])
+KINDS = ("q4_matmul", "q4_embedding", "dense")
+
+
+def _dtype_name(a: np.ndarray) -> str:
+    return str(a.dtype)
+
+
+class CheckpointWriter:
+    def __init__(self, path: str | Path, hp: HyperParams, vocab: Vocab,
+                 ftype: FType = FType.MOSTLY_Q4_0):
+        self.path = Path(path)
+        self.path.mkdir(parents=True, exist_ok=True)
+        self.hp = hp
+        self.ftype = ftype
+        self.tensors: dict[str, dict] = {}
+        self._f = open(self.path / "weights.bin", "wb")
+        self._off = 0
+        with open(self.path / "vocab.bin", "wb") as vf:
+            for tok, score in vocab.id_to_token:
+                vf.write(struct.pack("<I", len(tok)))
+                vf.write(tok)
+                vf.write(struct.pack("<f", score))
+
+    def _write_payload(self, a: np.ndarray) -> list:
+        pad = -self._off % ALIGN
+        if pad:
+            self._f.write(b"\0" * pad)
+            self._off += pad
+        start = self._off
+        data = np.ascontiguousarray(a)
+        self._f.write(data.tobytes())
+        self._off += data.nbytes
+        return [start, data.nbytes]
+
+    def add_q4_matmul(self, name: str, codes: np.ndarray, scales: np.ndarray):
+        """codes uint8 [N, K] row-major (quantizer output), scales [N, K/32].
+        Stored transposed + split-K packed (the device layout)."""
+        n, k = codes.shape
+        codes_t = np.ascontiguousarray(codes.T)                  # [K, N]
+        blocks = codes_t.reshape(k // QK4_0, QK4_0, n)
+        packed = (blocks[:, :QK4_0 // 2, :] | (blocks[:, QK4_0 // 2:, :] << 4))
+        packed = packed.reshape(k // 2, n).astype(np.uint8)
+        scales_t = np.ascontiguousarray(scales.T.astype(np.float32))
+        self.tensors[name] = {
+            "kind": "q4_matmul", "shape": [k, n],
+            "qs": self._write_payload(packed),
+            "scales": self._write_payload(scales_t),
+        }
+
+    def add_q4_embedding(self, name: str, codes: np.ndarray, scales: np.ndarray):
+        packed = split_pack_lastdim(codes)
+        self.tensors[name] = {
+            "kind": "q4_embedding", "shape": list(codes.shape),
+            "qs": self._write_payload(packed),
+            "scales": self._write_payload(np.asarray(scales, np.float32)),
+        }
+
+    def add_dense(self, name: str, a: np.ndarray):
+        self.tensors[name] = {
+            "kind": "dense", "shape": list(a.shape),
+            "dtype": _dtype_name(a),
+            "data": self._write_payload(a),
+        }
+
+    def finish(self) -> None:
+        self._f.close()
+        manifest = {
+            "format": FORMAT,
+            "ftype": int(self.ftype),
+            "hyperparams": {
+                "n_vocab": self.hp.n_vocab, "n_ctx": self.hp.n_ctx,
+                "n_embd": self.hp.n_embd, "n_mult": self.hp.n_mult,
+                "n_head": self.hp.n_head, "n_layer": self.hp.n_layer,
+                "n_rot": self.hp.n_rot,
+            },
+            "tensors": self.tensors,
+        }
+        with open(self.path / "manifest.json", "w") as f:
+            json.dump(manifest, f, indent=1)
+
+
+def read_vocab_bin(path: Path, n_vocab: int) -> Vocab:
+    toks = []
+    with open(path, "rb") as f:
+        for _ in range(n_vocab):
+            ln, = struct.unpack("<I", f.read(4))
+            word = f.read(ln)
+            score, = struct.unpack("<f", f.read(4))
+            toks.append((word, score))
+    return Vocab.from_tokens(toks)
+
+
+@dataclasses.dataclass
+class Checkpoint:
+    path: Path
+    hp: HyperParams
+    ftype: FType
+    vocab: Vocab
+    tensors: dict[str, dict]
+    mm: np.memmap
+
+    def _payload(self, rec: list, dtype, shape) -> np.ndarray:
+        off, size = rec
+        return self.mm[off:off + size].view(dtype).reshape(shape)
+
+    def load_tensor(self, name: str, device_put=jnp.asarray):
+        """Materialize one tensor in its runtime form.
+
+        device_put: callable(np_array, name, role) -> jax.Array; the sharded
+        loader passes a NamedSharding-aware version (parallel/sharding.py).
+        """
+        meta = self.tensors[name]
+        kind = meta["kind"]
+        if kind == "q4_matmul":
+            k, n = meta["shape"]
+            qs = self._payload(meta["qs"], np.uint8, (k // 2, n))
+            sc = self._payload(meta["scales"], np.float32, (k // QK4_0, n))
+            return QuantMatmulWeight(qs=device_put(qs, name, "qs"),
+                                     scales=device_put(sc, name, "scales"))
+        if kind == "q4_embedding":
+            v, d = meta["shape"]
+            qs = self._payload(meta["qs"], np.uint8, (v, d // 2))
+            sc = self._payload(meta["scales"], np.float32, (v, d // QK4_0))
+            return QuantEmbedding(qs=device_put(qs, name, "qs"),
+                                  scales=device_put(sc, name, "scales"))
+        if kind == "dense":
+            a = self._payload(meta["data"], np.dtype(meta["dtype"]),
+                              tuple(meta["shape"]))
+            return device_put(a, name, "data")
+        raise ValueError(f"unknown tensor kind {kind}")
+
+
+def open_checkpoint(path: str | Path) -> Checkpoint:
+    path = Path(path)
+    with open(path / "manifest.json") as f:
+        manifest = json.load(f)
+    if manifest.get("format") != FORMAT:
+        raise ValueError(f"{path}: not a {FORMAT} checkpoint")
+    h = manifest["hyperparams"]
+    hp = HyperParams(n_vocab=h["n_vocab"], n_ctx=h["n_ctx"], n_embd=h["n_embd"],
+                     n_mult=h["n_mult"], n_head=h["n_head"],
+                     n_layer=h["n_layer"], n_rot=h["n_rot"],
+                     ftype=FType(manifest["ftype"]))
+    vocab = read_vocab_bin(path / "vocab.bin", hp.n_vocab)
+    mm = np.memmap(path / "weights.bin", dtype=np.uint8, mode="r")
+    return Checkpoint(path=path, hp=hp, ftype=hp.ftype, vocab=vocab,
+                      tensors=manifest["tensors"], mm=mm)
+
+
+def _default_device_put(a, name, role):
+    del name, role
+    return jnp.asarray(a)
+
+
+def load_params(ckpt: Checkpoint, device_put=_default_device_put,
+                logger: Logger = NULL_LOGGER,
+                parallel: bool = True) -> LlamaParams:
+    """Build the LlamaParams pytree from a checkpoint.
+
+    Host-side reads happen in a thread pool (the TPU equivalent of the
+    reference's parallel_load_all_data, file_loader.hpp:550-587); device
+    transfer order is deterministic.
+    """
+    hp = ckpt.hp
+    names = ["tok_embeddings.weight", "norm.weight", "output.weight"]
+    for i in range(hp.n_layer):
+        p = f"layers.{i}."
+        names += [p + "attention_norm.weight",
+                  p + "attention.wq.weight", p + "attention.wk.weight",
+                  p + "attention.wv.weight", p + "attention.wo.weight",
+                  p + "ffn_norm.weight",
+                  p + "feed_forward.w1.weight", p + "feed_forward.w2.weight",
+                  p + "feed_forward.w3.weight"]
+
+    loaded: dict[str, object] = {}
+    total = len(names)
+
+    def load_one(nm):
+        return nm, ckpt.load_tensor(nm, device_put)
+
+    if parallel:
+        with ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 1)) as ex:
+            for done, (nm, t) in enumerate(ex.map(load_one, names)):
+                loaded[nm] = t
+                logger.progress(ProgressTag.LOAD, done + 1, total)
+    else:
+        for done, nm in enumerate(names):
+            loaded[nm] = ckpt.load_tensor(nm, device_put)
+            logger.progress(ProgressTag.LOAD, done + 1, total)
+
+    def dense_maybe_transposed(nm):
+        """Dense matmul weights are stored [N, K] by the f16 converter path;
+        the model wants [K, N]."""
+        t = loaded[nm]
+        if isinstance(t, (QuantMatmulWeight, QuantEmbedding)):
+            return t
+        meta = ckpt.tensors[nm]
+        if meta.get("transpose_on_load"):
+            return t.T
+        return t
+
+    layers = []
+    for i in range(hp.n_layer):
+        p = f"layers.{i}."
+        layers.append(LayerParams(
+            attention_norm=loaded[p + "attention_norm.weight"],
+            wq=dense_maybe_transposed(p + "attention.wq.weight"),
+            wk=dense_maybe_transposed(p + "attention.wk.weight"),
+            wv=dense_maybe_transposed(p + "attention.wv.weight"),
+            wo=dense_maybe_transposed(p + "attention.wo.weight"),
+            ffn_norm=loaded[p + "ffn_norm.weight"],
+            w1=dense_maybe_transposed(p + "feed_forward.w1.weight"),
+            w2=dense_maybe_transposed(p + "feed_forward.w2.weight"),
+            w3=dense_maybe_transposed(p + "feed_forward.w3.weight"),
+        ))
+    return LlamaParams(
+        tok_embeddings=loaded["tok_embeddings.weight"],
+        norm=loaded["norm.weight"],
+        output=dense_maybe_transposed("output.weight"),
+        layers=layers,
+    )

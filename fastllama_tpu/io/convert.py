@@ -1,0 +1,250 @@
+"""Checkpoint conversion into the fltpu native format.
+
+Three entry paths (covering the reference's scripts/convert.py:662-839 input
+matrix):
+  * ggml family (GGML/GGMF/GGJT, incl. multi-file shards): q4_0 payloads are
+    repacked bit-for-bit (no requantization); f16/f32 payloads are quantized
+    to the requested ftype or stored dense.
+  * HuggingFace LLaMA directories (torch .bin or .safetensors shards): the
+    reference's name mapping (convert.py:586-607) and wq/wk head permutation
+    (convert.py:902-905) are applied, then tensors are quantized.
+  * quantize: any readable input re-emitted at a different ftype — the
+    equivalent of the reference quantize tool (lib/llama.cpp:501-680).
+
+Quantization here is the bit-exact q4_0 of quant/q4.py, chunked over rows in
+a thread pool (reference: chunked multithread loop, llama.cpp:608-645).
+"""
+from __future__ import annotations
+
+import json
+import os
+import re
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+
+import numpy as np
+
+from ..config import FType, HyperParams
+from ..engine.logger import Logger, NULL_LOGGER, ProgressTag
+from ..engine.tokenizer import Vocab
+from ..quant.q4 import quantize_q4_0
+from .checkpoint import CheckpointWriter
+from .ggml_reader import (
+    GGML_TYPE_Q4_0, read_ggml_checkpoint,
+)
+
+# HF name -> ggml name mapping (reference: convert_transformers_to_orig,
+# scripts/convert.py:586-607)
+_HF_STATIC = {
+    "model.embed_tokens.weight": "tok_embeddings.weight",
+    "model.norm.weight": "norm.weight",
+    "lm_head.weight": "output.weight",
+}
+_HF_LAYER = {
+    "self_attn.q_proj.weight": "attention.wq.weight",
+    "self_attn.k_proj.weight": "attention.wk.weight",
+    "self_attn.v_proj.weight": "attention.wv.weight",
+    "self_attn.o_proj.weight": "attention.wo.weight",
+    "mlp.gate_proj.weight": "feed_forward.w1.weight",
+    "mlp.down_proj.weight": "feed_forward.w2.weight",
+    "mlp.up_proj.weight": "feed_forward.w3.weight",
+    "input_layernorm.weight": "attention_norm.weight",
+    "post_attention_layernorm.weight": "ffn_norm.weight",
+}
+
+
+def hf_to_ggml_name(name: str) -> str | None:
+    if name in _HF_STATIC:
+        return _HF_STATIC[name]
+    m = re.match(r"model\.layers\.(\d+)\.(.+)", name)
+    if m and m.group(2) in _HF_LAYER:
+        return f"layers.{m.group(1)}.{_HF_LAYER[m.group(2)]}"
+    return None
+
+
+def permute_qk(w: np.ndarray, n_head: int) -> np.ndarray:
+    """HF rotate-half -> ggml interleaved RoPE weight permutation
+    (reference: scripts/convert.py:902-905)."""
+    return (w.reshape(n_head, 2, w.shape[0] // n_head // 2, *w.shape[1:])
+             .swapaxes(1, 2)
+             .reshape(w.shape))
+
+
+def _is_quantizable(name: str, shape) -> bool:
+    """2-D weight tensors are quantized; 1-D stay f32 (lib/llama.cpp:558-572)."""
+    return len(shape) == 2
+
+
+def _quantize_rows_parallel(dense: np.ndarray, workers: int = 0):
+    """Chunked parallel q4_0 quantization over rows."""
+    n = dense.shape[0]
+    workers = workers or min(8, os.cpu_count() or 1)
+    chunk = max(1, n // (workers * 4))
+    codes = np.empty(dense.shape, np.uint8)
+    scales = np.empty((n, dense.shape[1] // 32), np.float32)
+
+    def work(lo):
+        hi = min(lo + chunk, n)
+        c, s = quantize_q4_0(dense[lo:hi])
+        codes[lo:hi] = c
+        scales[lo:hi] = s
+
+    with ThreadPoolExecutor(max_workers=workers) as ex:
+        list(ex.map(work, range(0, n, chunk)))
+    return codes, scales
+
+
+def _emit(writer: CheckpointWriter, name: str, get_dense, get_q4,
+          ftype: FType, logger: Logger) -> None:
+    """Write one tensor in the output ftype. get_q4 is a callable returning
+    (codes, scales) when the source is already q4_0 (pass-through), else None.
+    """
+    is_embedding = name == "tok_embeddings.weight"
+    if ftype == FType.MOSTLY_Q4_0:
+        q = get_q4() if get_q4 else None
+        if q is None:
+            dense = get_dense()
+            if not _is_quantizable(name, dense.shape):
+                writer.add_dense(name, dense.astype(np.float32))
+                return
+            q = _quantize_rows_parallel(dense)
+        codes, scales = q
+        if is_embedding:
+            writer.add_q4_embedding(name, codes, scales)
+        else:
+            writer.add_q4_matmul(name, codes, scales)
+    else:
+        dense = get_dense()
+        if len(dense.shape) == 2 and not is_embedding:
+            # matmul weights stored pre-transposed [K, N] for the model
+            dt = np.float16 if ftype == FType.MOSTLY_F16 else np.float32
+            writer.add_dense(name, np.ascontiguousarray(dense.T).astype(dt))
+        else:
+            writer.add_dense(name, dense.astype(
+                np.float16 if (ftype == FType.MOSTLY_F16
+                               and len(dense.shape) == 2) else np.float32))
+
+
+def convert_ggml(src: str, dst: str, ftype: FType = FType.MOSTLY_Q4_0,
+                 logger: Logger = NULL_LOGGER) -> None:
+    ckpt = read_ggml_checkpoint(src)
+    hp = ckpt.hyperparams
+    writer = CheckpointWriter(dst, hp, ckpt.vocab, ftype)
+    names = ckpt.tensor_names()
+    for i, name in enumerate(names):
+        logger.progress(ProgressTag.QUANTIZE, i, len(names))
+        src_q4 = (ckpt.tensor_type(name) == GGML_TYPE_Q4_0
+                  and ftype == FType.MOSTLY_Q4_0)
+        _emit(writer, name,
+              get_dense=lambda nm=name: ckpt.dense(nm),
+              get_q4=(lambda nm=name: ckpt.q4_0(nm)) if src_q4 else None,
+              ftype=ftype, logger=logger)
+    writer.finish()
+    logger.progress(ProgressTag.QUANTIZE, len(names), len(names))
+    logger.log("convert", f"wrote {dst}\n")
+
+
+def _load_hf_tensors(hf_dir: Path):
+    """Load all tensors from an HF LLaMA directory (safetensors preferred)."""
+    st_files = sorted(hf_dir.glob("*.safetensors"))
+    tensors = {}
+    if st_files:
+        from safetensors import safe_open
+        for p in st_files:
+            with safe_open(str(p), framework="numpy") as f:
+                for k in f.keys():
+                    tensors[k] = f.get_tensor(k)
+    else:
+        import torch
+        for p in sorted(hf_dir.glob("pytorch_model*.bin")):
+            sd = torch.load(str(p), map_location="cpu", weights_only=True)
+            for k, v in sd.items():
+                tensors[k] = v.to(torch.float32).numpy()
+    return tensors
+
+
+def _piece_to_bytes(piece: str) -> bytes:
+    if re.fullmatch(r"<0x[0-9A-Fa-f]{2}>", piece):
+        return bytes([int(piece[3:-1], 16)])
+    return piece.replace("▁", " ").encode("utf-8")
+
+
+def _hf_vocab(hf_dir: Path) -> Vocab:
+    """Build a scored vocab from tokenizer.model (SentencePiece) or, when the
+    sentencepiece package is unavailable, from tokenizer.json.
+
+    tokenizer.json fallback: Unigram models carry real scores; BPE exports
+    don't, so score = -id is used (SentencePiece ids are frequency-ordered),
+    which preserves greedy-merge behavior well in practice."""
+    try:
+        import sentencepiece as spm
+    except ImportError:
+        spm = None
+    if spm is not None and (hf_dir / "tokenizer.model").exists():
+        sp = spm.SentencePieceProcessor()
+        sp.Load(str(hf_dir / "tokenizer.model"))
+        toks = []
+        for i in range(sp.GetPieceSize()):
+            piece = sp.IdToPiece(i)
+            if sp.IsByte(i):
+                text = bytes([int(piece[3:-1], 16)])   # "<0xNN>"
+            else:
+                text = piece.replace("▁", " ").encode("utf-8")
+            toks.append((text, float(sp.GetScore(i))))
+        return Vocab.from_tokens(toks)
+
+    with open(hf_dir / "tokenizer.json", encoding="utf-8") as f:
+        tj = json.load(f)
+    model = tj["model"]
+    if model.get("type") == "Unigram":
+        pieces = model["vocab"]            # [[piece, score], ...]
+        out = [(_piece_to_bytes(p), float(s)) for p, s in pieces]
+        return Vocab.from_tokens(out)
+    vocab_map = model["vocab"]             # {piece: id}
+    n = max(vocab_map.values()) + 1
+    out = [(b"", 0.0)] * n
+    for piece, idx in vocab_map.items():
+        out[idx] = (_piece_to_bytes(piece), -float(idx))
+    return Vocab.from_tokens(out)
+
+
+def convert_hf(hf_dir: str, dst: str, ftype: FType = FType.MOSTLY_Q4_0,
+               n_ctx: int = 2048, logger: Logger = NULL_LOGGER) -> None:
+    hf_dir = Path(hf_dir)
+    tensors = _load_hf_tensors(hf_dir)
+    with open(hf_dir / "config.json") as f:
+        cfg = json.load(f)
+
+    n_embd = cfg["hidden_size"]
+    n_head = cfg["num_attention_heads"]
+    hp = HyperParams(
+        n_vocab=cfg["vocab_size"], n_ctx=n_ctx, n_embd=n_embd, n_mult=256,
+        n_head=n_head, n_layer=cfg["num_hidden_layers"],
+        n_rot=n_embd // n_head, ftype=ftype)
+    vocab = _hf_vocab(hf_dir)
+    writer = CheckpointWriter(dst, hp, vocab, ftype)
+
+    items = [(hf, hf_to_ggml_name(hf)) for hf in tensors]
+    items = [(hf, g) for hf, g in items if g is not None]
+    for i, (hf_name, ggml_name) in enumerate(items):
+        logger.progress(ProgressTag.QUANTIZE, i, len(items))
+        w = np.asarray(tensors[hf_name])
+        if ggml_name.endswith("attention.wq.weight") or \
+                ggml_name.endswith("attention.wk.weight"):
+            w = permute_qk(w, n_head)
+        _emit(writer, ggml_name, get_dense=lambda w=w: w.astype(np.float32),
+              get_q4=None, ftype=ftype, logger=logger)
+    writer.finish()
+    logger.progress(ProgressTag.QUANTIZE, len(items), len(items))
+    logger.log("convert", f"wrote {dst}\n")
+
+
+def quantize(src: str, dst: str, ftype: FType = FType.MOSTLY_Q4_0,
+             logger: Logger = NULL_LOGGER) -> None:
+    """Offline quantizer (reference: fastllama::quantize, llama.cpp:501-680;
+    CLI parity with src/quantize.cpp)."""
+    src_p = Path(src)
+    if src_p.is_dir() and (src_p / "config.json").exists():
+        convert_hf(src, dst, ftype, logger=logger)
+    else:
+        convert_ggml(src, dst, ftype, logger=logger)

@@ -159,6 +159,22 @@ def q4_matmul_xla(x: jax.Array, w: QuantMatmulWeight,
 _PALLAS_MAX_M = 64
 
 
+def pallas_shapes_supported(k: int, n: int) -> bool:
+    """Mosaic requires the last two block dims to be (8, 128)-divisible or
+    equal to the full array dims. Small/unaligned models (tests, exotic
+    shards) fall back to the XLA path."""
+    bn = _pick_tile(n)
+    bk = _pick_tile(k, (2048, 1024, 512, 256, 128, 64, 32))
+    kh = k // 2
+    bkh = bk // 2
+    ok_x = (bkh % 128 == 0) or (bkh == kh)           # x_lo/x_hi last dim
+    ok_qs_lane = (bn % 128 == 0) or (bn == n)
+    ok_qs_sub = (bkh % 8 == 0) or (bkh == kh)
+    nb_blk = bk // QBLOCK
+    ok_sc_sub = (nb_blk % 8 == 0) or (nb_blk == k // QBLOCK)
+    return ok_x and ok_qs_lane and ok_qs_sub and ok_sc_sub
+
+
 def q4_matmul(x: jax.Array, w: QuantMatmulWeight, *,
               use_pallas: bool | None = None,
               w_dtype=jnp.bfloat16,
@@ -173,6 +189,8 @@ def q4_matmul(x: jax.Array, w: QuantMatmulWeight, *,
 
     if use_pallas is None:
         use_pallas = (jax.default_backend() == "tpu") and m <= _PALLAS_MAX_M
+    if use_pallas and not pallas_shapes_supported(k, w.n):
+        use_pallas = False
     if use_pallas:
         # Pad M up to the f32 sublane tile so tiny decode batches map cleanly.
         m_pad = max(8, -(-m // 8) * 8)

@@ -39,6 +39,35 @@ Embedding = Union[QuantEmbedding, jax.Array]   # dense tables are [V, D]
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
+class LoraAdapted:
+    """A Linear with a runtime LoRA term: y = x @ base + lora(x).
+
+    TPU-native replacement for the reference's in-place W += ΔW rewrite
+    (lib/llama.cpp:873-882), which degrades quantized weights (it even warns,
+    llama.cpp:840-846). Keeping ΔW as a separate additive term is lossless on
+    q4_0 bases, quantization-aware, and makes attach/detach O(1) — detach
+    just unwraps (vs. the reference re-reading the adapter to subtract).
+
+      delta: [K, N] cached ΔW = (B·A·scale)^T       (ggla cached mode)
+      a/b:   [K, r] and [r, N] low-rank factors      (ggla no-cache mode;
+             a already carries the alpha/r scale, as in the ggla file)
+    """
+    base: "Linear"
+    delta: jax.Array | None = None
+    a: jax.Array | None = None
+    b: jax.Array | None = None
+
+    def tree_flatten(self):
+        return (self.base, self.delta, self.a, self.b), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        del aux
+        return cls(*children)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
 class LayerParams:
     attention_norm: jax.Array      # [n_embd] f32
     wq: Linear                     # [n_embd, n_embd]
@@ -105,7 +134,21 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
 
 
 def apply_linear(x: jax.Array, w: Linear, cfg: ForwardConfig) -> jax.Array:
-    """y = x @ W for quantized or dense weights; f32 result."""
+    """y = x @ W for quantized, dense, or LoRA-adapted weights; f32 result."""
+    if isinstance(w, LoraAdapted):
+        y = apply_linear(x, w.base, cfg)
+        lora_dtype = (w.delta if w.delta is not None else w.a).dtype
+        prec = (jax.lax.Precision.HIGHEST
+                if lora_dtype == jnp.float32 else None)
+        if w.delta is not None:
+            y = y + jnp.dot(x.astype(lora_dtype), w.delta,
+                            preferred_element_type=jnp.float32, precision=prec)
+        else:
+            xa = jnp.dot(x.astype(lora_dtype), w.a,
+                         preferred_element_type=jnp.float32, precision=prec)
+            y = y + jnp.dot(xa.astype(w.b.dtype), w.b,
+                            preferred_element_type=jnp.float32, precision=prec)
+        return y
     if isinstance(w, QuantMatmulWeight):
         return q4_matmul(x, w, use_pallas=cfg.use_pallas, w_dtype=cfg.w_jdtype)
     precision = (jax.lax.Precision.HIGHEST

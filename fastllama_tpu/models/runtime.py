@@ -103,9 +103,10 @@ class LlamaModel:
         KVCacheBuffer::save_state raw bytes, lib/llama.cpp:57-78 — here only
         the resident prefix is saved, not the whole buffer)."""
         n = self.n_cached
+        # float32 on the wire: npz round-trips bfloat16 as opaque void bytes
         return {
-            "kv_k": np.asarray(self.kv_k[:, :, :n]),
-            "kv_v": np.asarray(self.kv_v[:, :, :n]),
+            "kv_k": np.asarray(self.kv_k[:, :, :n]).astype(np.float32),
+            "kv_v": np.asarray(self.kv_v[:, :, :n]).astype(np.float32),
         }
 
     def load_kv_state(self, state: dict[str, np.ndarray]) -> None:
@@ -125,3 +126,132 @@ class LlamaModel:
     def set_threads(self, n: int) -> None:
         """No-op parity shim (reference Model::set_threads; XLA owns scheduling)."""
         del n
+
+    # -- LoRA ---------------------------------------------------------------
+
+    def attach_lora(self, path: str) -> bool:
+        """Attach a ggla adapter (reference: Model::attach_lora,
+        lib/llama.cpp:901-919 via attach_or_detach_lora_helper 697-899).
+
+        Unlike the reference — which rewrites W in place and warns that
+        quantized bases lose quality (llama.cpp:840-846) — the adapter is
+        kept as a separate additive term fused into the matmul (LoraAdapted),
+        so attach is lossless and detach restores bit-identical weights.
+        """
+        from ..engine.logger import ProgressTag
+        from ..io.ggml_reader import MAGIC_GGLA, read_ggml_file
+        from .llama import LoraAdapted
+
+        if getattr(self, "_lora_path", None):
+            self.logger.log_err("attach_lora",
+                                "an adapter is already attached; detach first\n")
+            return False
+        try:
+            gg = read_ggml_file(path)
+        except (OSError, ValueError) as e:
+            self.logger.log_err("attach_lora", f"failed to read '{path}': {e}\n")
+            return False
+        if gg.magic != MAGIC_GGLA:
+            self.logger.log_err("attach_lora", f"'{path}' is not a ggla adapter\n")
+            return False
+        use_cache = gg.lora_params["use_cache_matrix"]
+
+        # group adapter tensors by base weight name
+        groups: dict[str, dict[str, object]] = {}
+        for name in gg.tensors:
+            if name.endswith(".lora"):
+                groups.setdefault(name[:-len(".lora")], {})["delta"] = name
+            elif name.endswith(".loraA"):
+                groups.setdefault(name[:-len(".loraA")], {})["a"] = name
+            elif name.endswith(".loraB"):
+                groups.setdefault(name[:-len(".loraB")], {})["b"] = name
+            else:
+                self.logger.log_err("attach_lora",
+                                    f"unrecognized adapter tensor '{name}'\n")
+                return False
+
+        import jax.numpy as jnp
+        w_dtype = jnp.dtype(self.rcfg.weight_dtype)
+        wraps: dict[str, LoraAdapted] = {}
+        done = 0
+        for base_name, g in groups.items():
+            target = self._find_linear(base_name)
+            if target is None:
+                self.logger.log_err(
+                    "attach_lora", f"unknown base tensor '{base_name}' — are "
+                    "you sure that this adapter is for this model?\n")
+                return False
+            holder, attr, current = target
+            if use_cache:
+                if "delta" not in g:
+                    self.logger.log_err("attach_lora",
+                                        f"missing cached ΔW for '{base_name}'\n")
+                    return False
+                delta = gg.dense(g["delta"])          # [N, K] numpy orient.
+                wrapped = LoraAdapted(
+                    base=current,
+                    delta=jnp.asarray(delta.T.astype(w_dtype)))
+            else:
+                if "a" not in g or "b" not in g:
+                    self.logger.log_err("attach_lora",
+                                        f"missing A/B pair for '{base_name}'\n")
+                    return False
+                a = gg.dense(g["a"])                  # [K, r] (pre-scaled A^T)
+                b = gg.dense(g["b"])                  # [N, r]
+                wrapped = LoraAdapted(
+                    base=current,
+                    a=jnp.asarray(a.astype(w_dtype)),
+                    b=jnp.asarray(b.T.astype(w_dtype)))
+            wraps[base_name] = (holder, attr, wrapped)
+            done += 1
+            self.logger.progress(ProgressTag.ATTACH_LORA, done, len(groups))
+
+        for base_name, (holder, attr, wrapped) in wraps.items():
+            setattr(holder, attr, wrapped)
+        self._lora_path = path
+        return True
+
+    def detach_lora(self) -> bool:
+        """O(1) detach: unwrap every LoraAdapted (reference re-reads the
+        adapter file and subtracts, llama.cpp:921-944)."""
+        from ..engine.logger import ProgressTag
+        from .llama import LoraAdapted
+        if not getattr(self, "_lora_path", None):
+            self.logger.log_err("detach_lora", "no adapter attached\n")
+            return False
+        n = 0
+        for holder, attr in self._iter_linear_slots():
+            w = getattr(holder, attr)
+            if isinstance(w, LoraAdapted):
+                setattr(holder, attr, w.base)
+                n += 1
+                self.logger.progress(ProgressTag.DETACH_LORA, n, n)
+        self._lora_path = None
+        return True
+
+    @property
+    def lora_path(self) -> str | None:
+        return getattr(self, "_lora_path", None)
+
+    def _iter_linear_slots(self):
+        yield self.params, "output"
+        for layer in self.params.layers:
+            for attr in ("wq", "wk", "wv", "wo", "w1", "w2", "w3"):
+                yield layer, attr
+
+    def _find_linear(self, ggml_name: str):
+        """Map a ggml tensor name to (holder, attr, value) in the pytree."""
+        import re
+        if ggml_name == "output.weight":
+            return self.params, "output", self.params.output
+        m = re.match(
+            r"layers\.(\d+)\.(attention\.(wq|wk|wv|wo)|feed_forward\.(w1|w2|w3))"
+            r"\.weight$", ggml_name)
+        if not m:
+            return None
+        li = int(m.group(1))
+        if li >= len(self.params.layers):
+            return None
+        attr = m.group(3) or m.group(4)
+        layer = self.params.layers[li]
+        return layer, attr, getattr(layer, attr)

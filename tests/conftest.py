@@ -2,11 +2,17 @@
 
 Multi-chip sharding logic is validated single-process over virtual CPU
 devices — the standard JAX substitute for a real pod slice (SURVEY.md §4).
-Must run before jax is imported anywhere.
+
+NOTE: the axon TPU-tunnel plugin in this image re-exports
+JAX_PLATFORMS=axon during `import jax`, silently overriding the env var —
+the config API below is the only reliable way to pin the CPU backend.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
