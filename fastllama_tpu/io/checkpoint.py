@@ -148,6 +148,21 @@ class Checkpoint:
         off, size = rec
         return self.mm[off:off + size].view(dtype).reshape(shape)
 
+    def raw_q4_planes(self, name: str) -> tuple[np.ndarray, np.ndarray]:
+        """Unpadded device-layout planes for a q4 matmul tensor."""
+        meta = self.tensors[name]
+        if meta["kind"] != "q4_matmul":
+            raise ValueError(f"{name} is {meta['kind']}, not q4_matmul")
+        k, n = meta["shape"]
+        qs = self._payload(meta["qs"], np.uint8, (k // 2, n))
+        sc = self._payload(meta["scales"], np.float32, (k // QK4_0, n))
+        return qs, sc
+
+    def raw_dense(self, name: str) -> np.ndarray:
+        meta = self.tensors[name]
+        return self._payload(meta["data"], np.dtype(meta["dtype"]),
+                             tuple(meta["shape"]))
+
     def load_tensor(self, name: str, device_put=jnp.asarray):
         """Materialize one tensor in its runtime form.
 
@@ -192,75 +207,85 @@ def open_checkpoint(path: str | Path) -> Checkpoint:
                       tensors=manifest["tensors"], mm=mm)
 
 
-def _default_device_put(a, name, role):
-    del name, role
-    return jnp.asarray(a)
-
-
-def load_params(ckpt: Checkpoint, device_put=_default_device_put,
-                logger: Logger = NULL_LOGGER,
+def load_params(ckpt: Checkpoint, logger: Logger = NULL_LOGGER,
                 parallel: bool = True) -> LlamaParams:
-    """Build the LlamaParams pytree from a checkpoint.
+    """Build the (fused-layout) LlamaParams pytree from a checkpoint.
 
-    Host-side reads happen in a thread pool (the TPU equivalent of the
-    reference's parallel_load_all_data, file_loader.hpp:550-587); device
-    transfer order is deterministic.
+    QKV and w1/w3 are fused at load (models/fuse.py column orders) directly
+    on the packed planes — a pure column permutation. Host-side reads happen
+    in a thread pool (the TPU analog of the reference's
+    parallel_load_all_data, file_loader.hpp:550-587).
     """
+    from ..models.fuse import (
+        fuse_dense, fuse_packed, qkv_col_order, w13_col_order,
+    )
+    from ..quant.tensor import matmul_weight_from_planes
+
     hp = ckpt.hp
-    names = ["tok_embeddings.weight", "norm.weight", "output.weight"]
-    for i in range(hp.n_layer):
+
+    def is_q4(nm):
+        return ckpt.tensors[nm]["kind"] == "q4_matmul"
+
+    def single_matmul(nm):
+        if is_q4(nm):
+            return matmul_weight_from_planes(*ckpt.raw_q4_planes(nm))
+        return jnp.asarray(ckpt.raw_dense(nm))       # stored [K, N]
+
+    def fused(names, order):
+        if all(is_q4(nm) for nm in names):
+            return fuse_packed([ckpt.raw_q4_planes(nm) for nm in names], order)
+        return fuse_dense([np.asarray(ckpt.raw_dense(nm)) for nm in names],
+                          order)
+
+    hd = hp.head_dim
+
+    def load_layer(i):
         p = f"layers.{i}."
-        names += [p + "attention_norm.weight",
-                  p + "attention.wq.weight", p + "attention.wk.weight",
-                  p + "attention.wv.weight", p + "attention.wo.weight",
-                  p + "ffn_norm.weight",
-                  p + "feed_forward.w1.weight", p + "feed_forward.w2.weight",
-                  p + "feed_forward.w3.weight"]
+        n_ff = ckpt.tensors[p + "feed_forward.w1.weight"]["shape"][1]
+        return LayerParams(
+            attention_norm=jnp.asarray(ckpt.raw_dense(p + "attention_norm.weight")),
+            wqkv=fused([p + "attention.wq.weight", p + "attention.wk.weight",
+                        p + "attention.wv.weight"],
+                       qkv_col_order(hp.n_head, hd)),
+            wo=single_matmul(p + "attention.wo.weight"),
+            ffn_norm=jnp.asarray(ckpt.raw_dense(p + "ffn_norm.weight")),
+            w13=fused([p + "feed_forward.w1.weight",
+                       p + "feed_forward.w3.weight"], w13_col_order(n_ff)),
+            w2=single_matmul(p + "feed_forward.w2.weight"),
+        )
 
-    loaded: dict[str, object] = {}
-    total = len(names)
-
-    def load_one(nm):
-        return nm, ckpt.load_tensor(nm, device_put)
-
+    total = hp.n_layer + 3
+    done = 0
+    layers = [None] * hp.n_layer
     if parallel:
         with ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 1)) as ex:
-            for done, (nm, t) in enumerate(ex.map(load_one, names)):
-                loaded[nm] = t
-                logger.progress(ProgressTag.LOAD, done + 1, total)
+            for i, layer in zip(range(hp.n_layer),
+                                ex.map(load_layer, range(hp.n_layer))):
+                layers[i] = layer
+                done += 1
+                logger.progress(ProgressTag.LOAD, done, total)
     else:
-        for done, nm in enumerate(names):
-            loaded[nm] = ckpt.load_tensor(nm, device_put)
-            logger.progress(ProgressTag.LOAD, done + 1, total)
+        for i in range(hp.n_layer):
+            layers[i] = load_layer(i)
+            done += 1
+            logger.progress(ProgressTag.LOAD, done, total)
 
-    def dense_maybe_transposed(nm):
-        """Dense matmul weights are stored [N, K] by the f16 converter path;
-        the model wants [K, N]."""
-        t = loaded[nm]
-        if isinstance(t, (QuantMatmulWeight, QuantEmbedding)):
-            return t
-        meta = ckpt.tensors[nm]
-        if meta.get("transpose_on_load"):
-            return t.T
-        return t
+    emb_meta = ckpt.tensors["tok_embeddings.weight"]
+    if emb_meta["kind"] == "q4_embedding":
+        v, d = emb_meta["shape"]
+        emb = QuantEmbedding(
+            qs=jnp.asarray(ckpt._payload(emb_meta["qs"], np.uint8, (v, d // 2))),
+            scales=jnp.asarray(ckpt._payload(emb_meta["scales"], np.float32,
+                                             (v, d // QK4_0))))
+    else:
+        emb = jnp.asarray(ckpt.raw_dense("tok_embeddings.weight"))
+    logger.progress(ProgressTag.LOAD, done + 1, total)
+    out = single_matmul("output.weight")
+    logger.progress(ProgressTag.LOAD, done + 2, total)
 
-    layers = []
-    for i in range(hp.n_layer):
-        p = f"layers.{i}."
-        layers.append(LayerParams(
-            attention_norm=loaded[p + "attention_norm.weight"],
-            wq=dense_maybe_transposed(p + "attention.wq.weight"),
-            wk=dense_maybe_transposed(p + "attention.wk.weight"),
-            wv=dense_maybe_transposed(p + "attention.wv.weight"),
-            wo=dense_maybe_transposed(p + "attention.wo.weight"),
-            ffn_norm=loaded[p + "ffn_norm.weight"],
-            w1=dense_maybe_transposed(p + "feed_forward.w1.weight"),
-            w2=dense_maybe_transposed(p + "feed_forward.w2.weight"),
-            w3=dense_maybe_transposed(p + "feed_forward.w3.weight"),
-        ))
     return LlamaParams(
-        tok_embeddings=loaded["tok_embeddings.weight"],
-        norm=loaded["norm.weight"],
-        output=dense_maybe_transposed("output.weight"),
+        tok_embeddings=emb,
+        norm=jnp.asarray(ckpt.raw_dense("norm.weight")),
+        output=out,
         layers=layers,
     )

@@ -41,12 +41,22 @@ def _dot_precision(w_dtype):
     return jax.lax.Precision.HIGHEST if jnp.dtype(w_dtype) == jnp.float32 else None
 
 
-def _pick_tile(dim: int, candidates=(512, 256, 128)) -> int:
-    for c in candidates:
-        if dim % c == 0:
-            return c
-    # Fall back to the dim itself (small matrices in tests).
-    return dim
+def _pick_tile(dim: int, cap: int = 512, unit: int = 128) -> int:
+    """Largest divisor of dim that is a multiple of `unit` and <= cap.
+    Falls back to the dim itself (small matrices in tests)."""
+    best = 0
+    d = unit
+    while d <= cap:
+        if dim % d == 0:
+            best = d
+        d += unit
+    return best or dim
+
+
+def _pick_tile_k(k: int, cap: int = 2816) -> int:
+    """K tile: multiple of 256 (so K/2 tiles are 128-lane aligned in the
+    packed plane) dividing k, as large as possible up to cap."""
+    return _pick_tile(k, cap=cap, unit=256)
 
 
 def split_activation(x: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -115,7 +125,7 @@ def q4_matmul_pallas(x: jax.Array, qs: jax.Array, scales: jax.Array,
     assert kh * 2 == k, (x.shape, qs.shape)
 
     bn = block_n or _pick_tile(n)
-    bk = block_k or _pick_tile(k, (2048, 1024, 512, 256, 128, 64, 32))
+    bk = block_k or _pick_tile_k(k)
     grid = (n // bn, k // bk)
 
     x_lo, x_hi = split_activation(x)
@@ -147,7 +157,8 @@ def q4_matmul_pallas(x: jax.Array, qs: jax.Array, scales: jax.Array,
 
 def q4_matmul_xla(x: jax.Array, w: QuantMatmulWeight,
                   w_dtype=jnp.bfloat16) -> jax.Array:
-    """Dequant-then-dot; XLA fuses the dequant chain into the matmul."""
+    """Dequant-then-dot; XLA fuses the dequant chain into the matmul.
+    x must already be padded to w's stored K; output is padded-N wide."""
     dense = dequant_matmul_weight(w, dtype=w_dtype)
     return jnp.dot(x.astype(w_dtype), dense, preferred_element_type=jnp.float32,
                    precision=_dot_precision(w_dtype))
@@ -164,7 +175,7 @@ def pallas_shapes_supported(k: int, n: int) -> bool:
     equal to the full array dims. Small/unaligned models (tests, exotic
     shards) fall back to the XLA path."""
     bn = _pick_tile(n)
-    bk = _pick_tile(k, (2048, 1024, 512, 256, 128, 64, 32))
+    bk = _pick_tile_k(k)
     kh = k // 2
     bkh = bk // 2
     ok_x = (bkh % 128 == 0) or (bkh == kh)           # x_lo/x_hi last dim
@@ -179,7 +190,12 @@ def q4_matmul(x: jax.Array, w: QuantMatmulWeight, *,
               use_pallas: bool | None = None,
               w_dtype=jnp.bfloat16,
               interpret: bool = False) -> jax.Array:
-    """Dispatching entry point. x: [..., K] -> [..., N] f32."""
+    """Dispatching entry point. x: [..., K_logical] -> [..., N_logical] f32.
+
+    Handles stored-dim padding transparently: zero-pads x up to the weight's
+    stored K (inert: padded codes dequantize to 0) and slices the output to
+    n_logical.
+    """
     lead = x.shape[:-1]
     k = x.shape[-1]
     m = 1
@@ -187,9 +203,19 @@ def q4_matmul(x: jax.Array, w: QuantMatmulWeight, *,
         m *= d
     x2 = x.reshape(m, k)
 
+    # Under shard_map the arrays are local shards while the static n_logical
+    # aux stays global — the effective width is then the (unpadded) local
+    # shard width. Sharded weights must be unpadded (parallel/sharding.py
+    # asserts this); standard LLaMA dims are all 256-multiples anyway.
+    n_eff = min(w.n_logical, w.qs.shape[1])
+
+    k_stored = w.qs.shape[0] * 2
+    if k_stored != k:
+        x2 = jnp.pad(x2, ((0, 0), (0, k_stored - k)))
+
     if use_pallas is None:
         use_pallas = (jax.default_backend() == "tpu") and m <= _PALLAS_MAX_M
-    if use_pallas and not pallas_shapes_supported(k, w.n):
+    if use_pallas and not pallas_shapes_supported(k_stored, w.qs.shape[1]):
         use_pallas = False
     if use_pallas:
         # Pad M up to the f32 sublane tile so tiny decode batches map cleanly.
@@ -200,4 +226,6 @@ def q4_matmul(x: jax.Array, w: QuantMatmulWeight, *,
                              w_dtype=w_dtype)[:m]
     else:
         y = q4_matmul_xla(x2, w, w_dtype=w_dtype)
-    return y.reshape(*lead, y.shape[-1])
+    if y.shape[-1] != n_eff:
+        y = y[:, :n_eff]
+    return y.reshape(*lead, n_eff)

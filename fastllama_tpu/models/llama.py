@@ -6,16 +6,21 @@ pool. Here the forward pass is a pure function over a params pytree, traced
 once per (batch, length) bucket and compiled by XLA; weights are
 QuantMatmulWeight (fused Pallas dequant-matmul) or dense arrays.
 
+Decode-path design (bandwidth-bound, profiled on v5e):
+  * QKV and w1/w3 are pre-fused into single matmul weights (models/fuse.py)
+    — 4 kernel launches per layer instead of 7.
+  * The KV cache is a per-layer list of [B, S, H, Dh] buffers (not one
+    stacked array): XLA aliases the donated buffers in place, where a
+    scatter into a stacked [L, ...] cache cost ~4 ms/step in copies.
+  * LoRA adapters are separate additive terms (LoraTerm fields), never
+    folded into the quantized base weights.
+
 Numerical parity contract with the reference eval:
-  * rms_norm eps = 1e-6                       (lib/ggml.c:7406)
+  * rms_norm eps = 1e-6                          (lib/ggml.c:7406)
   * interleaved RoPE, theta = 10000^(-2i/n_rot)  (lib/ggml.c:8655-8660)
   * silu-gated FFN: w2( silu(w1 x) * (w3 x) )    (lib/llama.cpp:410-438)
   * causal mask via position comparison replaces diag_mask_inf
     (lib/llama.cpp:346-403); softmax in f32.
-
-The KV cache is a [n_layer, batch, n_ctx, n_head, head_dim] pair written with
-dynamic_update_slice at n_past — the static-shape mirror of ggml's
-layer-strided view copies (lib/llama.cpp:336-343).
 """
 from __future__ import annotations
 
@@ -32,33 +37,31 @@ from ..kernels.rope import rope_interleaved
 from ..quant.tensor import (
     QuantEmbedding, QuantMatmulWeight, dequant_embedding_rows,
 )
+from .fuse import split_qkv, split_w13
 
 Linear = Union[QuantMatmulWeight, jax.Array]   # dense weights are [K, N]
 Embedding = Union[QuantEmbedding, jax.Array]   # dense tables are [V, D]
 
+KVPair = tuple[jax.Array, jax.Array]           # ([B,S,H,Dh], [B,S,H,Dh])
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
-class LoraAdapted:
-    """A Linear with a runtime LoRA term: y = x @ base + lora(x).
+class LoraTerm:
+    """A runtime LoRA adapter term: lora(x) = x @ delta  or  (x @ a) @ b.
 
     TPU-native replacement for the reference's in-place W += ΔW rewrite
-    (lib/llama.cpp:873-882), which degrades quantized weights (it even warns,
-    llama.cpp:840-846). Keeping ΔW as a separate additive term is lossless on
-    q4_0 bases, quantization-aware, and makes attach/detach O(1) — detach
-    just unwraps (vs. the reference re-reading the adapter to subtract).
-
-      delta: [K, N] cached ΔW = (B·A·scale)^T       (ggla cached mode)
-      a/b:   [K, r] and [r, N] low-rank factors      (ggla no-cache mode;
-             a already carries the alpha/r scale, as in the ggla file)
+    (lib/llama.cpp:873-882), which degrades quantized weights (it even
+    warns, llama.cpp:840-846). Keeping ΔW separate is lossless on q4_0
+    bases, and detach is O(1) (the reference re-reads the adapter file to
+    subtract). `a` carries the alpha/r scale, as in the ggla file format.
     """
-    base: "Linear"
-    delta: jax.Array | None = None
-    a: jax.Array | None = None
-    b: jax.Array | None = None
+    delta: jax.Array | None = None   # [K, N]
+    a: jax.Array | None = None       # [K, r]
+    b: jax.Array | None = None       # [r, N]
 
     def tree_flatten(self):
-        return (self.base, self.delta, self.a, self.b), None
+        return (self.delta, self.a, self.b), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -66,18 +69,34 @@ class LoraAdapted:
         return cls(*children)
 
 
+def apply_lora(x: jax.Array, t: LoraTerm) -> jax.Array:
+    dtype = (t.delta if t.delta is not None else t.a).dtype
+    prec = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+    if t.delta is not None:
+        return jnp.dot(x.astype(dtype), t.delta,
+                       preferred_element_type=jnp.float32, precision=prec)
+    xa = jnp.dot(x.astype(dtype), t.a,
+                 preferred_element_type=jnp.float32, precision=prec)
+    return jnp.dot(xa.astype(t.b.dtype), t.b,
+                   preferred_element_type=jnp.float32, precision=prec)
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class LayerParams:
-    attention_norm: jax.Array      # [n_embd] f32
-    wq: Linear                     # [n_embd, n_embd]
-    wk: Linear
-    wv: Linear
-    wo: Linear
-    ffn_norm: jax.Array            # [n_embd] f32
-    w1: Linear                     # [n_embd, n_ff]
-    w2: Linear                     # [n_ff, n_embd]
-    w3: Linear                     # [n_embd, n_ff]
+    attention_norm: jax.Array          # [n_embd] f32
+    wqkv: Linear                       # [D, H*3*hd] fused (models/fuse.py)
+    wo: Linear                         # [D, D]
+    ffn_norm: jax.Array                # [n_embd] f32
+    w13: Linear                        # [D, 2F] fused
+    w2: Linear                         # [F, D]
+    lora_wq: LoraTerm | None = None
+    lora_wk: LoraTerm | None = None
+    lora_wv: LoraTerm | None = None
+    lora_wo: LoraTerm | None = None
+    lora_w1: LoraTerm | None = None
+    lora_w2: LoraTerm | None = None
+    lora_w3: LoraTerm | None = None
 
     def tree_flatten(self):
         fields = dataclasses.fields(self)
@@ -92,13 +111,15 @@ class LayerParams:
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class LlamaParams:
-    tok_embeddings: Embedding      # [n_vocab, n_embd]
-    norm: jax.Array                # [n_embd] f32
-    output: Linear                 # [n_embd, n_vocab]
+    tok_embeddings: Embedding          # [n_vocab, n_embd]
+    norm: jax.Array                    # [n_embd] f32
+    output: Linear                     # [n_embd, n_vocab]
     layers: list[LayerParams]
+    lora_output: LoraTerm | None = None
 
     def tree_flatten(self):
-        return (self.tok_embeddings, self.norm, self.output, self.layers), None
+        return (self.tok_embeddings, self.norm, self.output, self.layers,
+                self.lora_output), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -109,13 +130,24 @@ class LlamaParams:
 @dataclasses.dataclass(frozen=True)
 class ForwardConfig:
     """Static (hashable) trace-time configuration."""
-    n_head: int
+    n_head: int                     # LOCAL head count (global/tp under shard_map)
     n_rot: int
     rms_eps: float = 1e-6
     w_dtype: str = "bfloat16"       # MXU input dtype for dequantized weights
     act_dtype: str = "float32"      # residual-stream dtype
     use_pallas: Any = None          # None = auto by backend/M
     all_logits: bool = False        # reference should_put_all_logits
+    # KV write mode: "dus" (single shared offset — the single-stream session)
+    # or "scatter" (per-row positions — the continuous-batching engine).
+    kv_update: str = "dus"
+    # Tensor-parallel axis name when running inside shard_map over a Mesh
+    # (parallel/sharding.py). None = single-device semantics. With an axis:
+    # wqkv/w13 and the output head are output-sharded, wo/w2 are
+    # reduction-sharded (psum), embeddings are vocab-sharded — the compute
+    # realization of the reference's file-shard axis table
+    # (include/tensor/utils.hpp:101-112).
+    tp_axis: str | None = None
+    vocab_size: int = 0             # GLOBAL vocab (needed when tp_axis set)
 
     @property
     def w_jdtype(self):
@@ -134,21 +166,7 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
 
 
 def apply_linear(x: jax.Array, w: Linear, cfg: ForwardConfig) -> jax.Array:
-    """y = x @ W for quantized, dense, or LoRA-adapted weights; f32 result."""
-    if isinstance(w, LoraAdapted):
-        y = apply_linear(x, w.base, cfg)
-        lora_dtype = (w.delta if w.delta is not None else w.a).dtype
-        prec = (jax.lax.Precision.HIGHEST
-                if lora_dtype == jnp.float32 else None)
-        if w.delta is not None:
-            y = y + jnp.dot(x.astype(lora_dtype), w.delta,
-                            preferred_element_type=jnp.float32, precision=prec)
-        else:
-            xa = jnp.dot(x.astype(lora_dtype), w.a,
-                         preferred_element_type=jnp.float32, precision=prec)
-            y = y + jnp.dot(xa.astype(w.b.dtype), w.b,
-                            preferred_element_type=jnp.float32, precision=prec)
-        return y
+    """y = x @ W for quantized or dense weights; f32 result."""
     if isinstance(w, QuantMatmulWeight):
         return q4_matmul(x, w, use_pallas=cfg.use_pallas, w_dtype=cfg.w_jdtype)
     precision = (jax.lax.Precision.HIGHEST
@@ -157,53 +175,85 @@ def apply_linear(x: jax.Array, w: Linear, cfg: ForwardConfig) -> jax.Array:
                    preferred_element_type=jnp.float32, precision=precision)
 
 
-def embed_tokens(table: Embedding, tokens: jax.Array, dtype) -> jax.Array:
+def embed_tokens(table: Embedding, tokens: jax.Array, dtype,
+                 cfg: "ForwardConfig | None" = None) -> jax.Array:
     if isinstance(table, QuantEmbedding):
-        n_vocab = table.qs.shape[0]
+        n_local = table.qs.shape[0]
     else:
-        n_vocab = table.shape[0]
+        n_local = table.shape[0]
+
+    if cfg is not None and cfg.tp_axis is not None:
+        # Vocab-sharded lookup: each shard gathers its local rows for ids in
+        # its range, zeros the rest, and a psum over the tp axis assembles
+        # the full embedding.
+        shard = jax.lax.axis_index(cfg.tp_axis)
+        offset = shard * n_local
+        local_ids = tokens - offset
+        valid = (local_ids >= 0) & (local_ids < n_local)
+        local_ids = jnp.clip(local_ids, 0, n_local - 1)
+        if isinstance(table, QuantEmbedding):
+            emb = dequant_embedding_rows(table, local_ids, dtype=dtype)
+        else:
+            emb = jnp.take(table, local_ids, axis=0).astype(dtype)
+        emb = jnp.where(valid[..., None], emb, 0)
+        return jax.lax.psum(emb, cfg.tp_axis)
+
     # Clamp instead of jnp's NaN-fill gather: padded/garbage slots in bucketed
     # batches must not poison the whole forward pass.
-    tokens = jnp.clip(tokens, 0, n_vocab - 1)
+    tokens = jnp.clip(tokens, 0, n_local - 1)
     if isinstance(table, QuantEmbedding):
         return dequant_embedding_rows(table, tokens, dtype=dtype)
     return jnp.take(table, tokens, axis=0).astype(dtype)
 
 
-def _attention(x: jax.Array, layer: LayerParams, layer_idx: int,
-               positions: jax.Array, kv_k: jax.Array, kv_v: jax.Array,
-               cfg: ForwardConfig):
+def _write_kv(buf: jax.Array, val: jax.Array, positions: jax.Array,
+              cfg: ForwardConfig) -> jax.Array:
+    """Write [B, T, H, Dh] values into the [B, S, H, Dh] cache.
+
+    "dus": one shared offset (positions[0,0]) — XLA updates the donated
+    buffer in place. "scatter": per-row positions with mode='drop' (padded
+    bucket tails past n_ctx are discarded) — the batched engine's per-slot
+    path. Static-shape mirrors of ggml's strided view copy
+    (lib/llama.cpp:336-343)."""
+    val = val.astype(buf.dtype)
+    if cfg.kv_update == "dus":
+        return jax.lax.dynamic_update_slice(
+            buf, val, (0, positions[0, 0], 0, 0))
+    b = val.shape[0]
+    b_idx = jnp.arange(b)[:, None]
+    return buf.at[b_idx, positions].set(val, mode="drop")
+
+
+def _attention(x: jax.Array, layer: LayerParams, positions: jax.Array,
+               kv: KVPair, cfg: ForwardConfig):
     """Self-attention for one layer.
 
-    x: [B, T, D]; positions: [B, T] absolute; kv_k/kv_v: [L, B, S, H, Dh].
-    Returns (attn_out [B, T, D], new kv_k, new kv_v).
+    x: [B, T, D]; positions: [B, T] absolute; kv: ([B,S,H,Dh], [B,S,H,Dh]).
+    Returns (attn_out [B, T, D], new kv pair).
     """
     b, t, d = x.shape
-    h = cfg.n_head
-    hd = d // h
-    s = kv_k.shape[2]
+    h = cfg.n_head            # local heads (= global heads / tp under shard_map)
+    kv_k, kv_v = kv
+    s = kv_k.shape[1]
 
-    q = apply_linear(x, layer.wq, cfg).reshape(b, t, h, hd)
-    k = apply_linear(x, layer.wk, cfg).reshape(b, t, h, hd)
-    v = apply_linear(x, layer.wv, cfg).reshape(b, t, h, hd)
+    qkv = apply_linear(x, layer.wqkv, cfg)
+    q, k, v = split_qkv(qkv, h)
+    hd = q.shape[-1]
+    if layer.lora_wq is not None:
+        q = q + apply_lora(x, layer.lora_wq).reshape(b, t, h, hd)
+    if layer.lora_wk is not None:
+        k = k + apply_lora(x, layer.lora_wk).reshape(b, t, h, hd)
+    if layer.lora_wv is not None:
+        v = v + apply_lora(x, layer.lora_wv).reshape(b, t, h, hd)
 
     q = rope_interleaved(q, positions, cfg.n_rot)
     k = rope_interleaved(k, positions, cfg.n_rot)
 
-    kv_dtype = kv_k.dtype
-    # Scatter this block's K/V to its absolute positions (the static-shape
-    # mirror of ggml's strided view copy, lib/llama.cpp:336-343). Per-row
-    # positions support both the single-stream path and the continuous-
-    # batching engine (each slot at its own offset); mode='drop' discards
-    # writes past n_ctx (padded bucket tails at the context boundary).
-    b_idx = jnp.arange(b)[:, None]
-    kv_k = kv_k.at[layer_idx, b_idx, positions].set(
-        k.astype(kv_dtype), mode="drop")
-    kv_v = kv_v.at[layer_idx, b_idx, positions].set(
-        v.astype(kv_dtype), mode="drop")
+    kv_k = _write_kv(kv_k, k, positions, cfg)
+    kv_v = _write_kv(kv_v, v, positions, cfg)
 
-    keys = kv_k[layer_idx].astype(jnp.float32)      # [B, S, H, Dh]
-    vals = kv_v[layer_idx].astype(jnp.float32)
+    keys = kv_k.astype(jnp.float32)                # [B, S, H, Dh]
+    vals = kv_v.astype(jnp.float32)
 
     # In parity mode (f32 weights) the attention contractions must also run
     # at full f32; production bf16 runs use the backend default (bf16 MXU).
@@ -221,20 +271,36 @@ def _attention(x: jax.Array, layer: LayerParams, layer_idx: int,
     probs = jax.nn.softmax(scores, axis=-1)
 
     ctx = jnp.einsum("bhts,bshd->bthd", probs, vals, precision=attn_prec)
-    ctx = ctx.reshape(b, t, d).astype(cfg.act_jdtype)
+    ctx = ctx.reshape(b, t, h * hd).astype(cfg.act_jdtype)
     out = apply_linear(ctx, layer.wo, cfg)
-    return out.astype(cfg.act_jdtype), kv_k, kv_v
+    if layer.lora_wo is not None:
+        out = out + apply_lora(ctx, layer.lora_wo)
+    if cfg.tp_axis is not None:
+        # wo is reduction-sharded over heads: sum partial outputs over ICI
+        out = jax.lax.psum(out, cfg.tp_axis)
+    return out.astype(cfg.act_jdtype), (kv_k, kv_v)
 
 
 def _ffn(x: jax.Array, layer: LayerParams, cfg: ForwardConfig) -> jax.Array:
-    gate = apply_linear(x, layer.w1, cfg)
-    up = apply_linear(x, layer.w3, cfg)
+    g13 = apply_linear(x, layer.w13, cfg)
+    gate, up = split_w13(g13)
+    if layer.lora_w1 is not None:
+        gate = gate + apply_lora(x, layer.lora_w1)
+    if layer.lora_w3 is not None:
+        up = up + apply_lora(x, layer.lora_w3)
     act = jax.nn.silu(gate) * up
-    return apply_linear(act.astype(cfg.act_jdtype), layer.w2, cfg).astype(cfg.act_jdtype)
+    act = act.astype(cfg.act_jdtype)
+    out = apply_linear(act, layer.w2, cfg)
+    if layer.lora_w2 is not None:
+        out = out + apply_lora(act, layer.lora_w2)
+    if cfg.tp_axis is not None:
+        # w2 is reduction-sharded over the ffn dim
+        out = jax.lax.psum(out, cfg.tp_axis)
+    return out.astype(cfg.act_jdtype)
 
 
 def forward(params: LlamaParams, tokens: jax.Array, n_past: jax.Array,
-            kv_k: jax.Array, kv_v: jax.Array, cfg: ForwardConfig,
+            kv_caches: list[KVPair], cfg: ForwardConfig,
             last_idx: jax.Array | None = None):
     """The transformer forward pass.
 
@@ -242,12 +308,12 @@ def forward(params: LlamaParams, tokens: jax.Array, n_past: jax.Array,
       tokens: [B, T] int32 (T static; padded tokens allowed — their logits
         and cache slots are garbage that later writes overwrite).
       n_past: scalar int32 — number of tokens already in the cache.
-      kv_k/kv_v: [L, B, S, H, Dh].
+      kv_caches: per-layer (k, v) pairs, each [B, S, H, Dh].
       last_idx: scalar int32 — index of the last *valid* token within the
         (possibly padded) T window; defaults to T-1. The non-all-logits
         output head and the embeddings tap read this row.
     Returns:
-      (logits, kv_k, kv_v, embeddings):
+      (logits, kv_caches, embeddings):
         logits [B, T, n_vocab] f32 if cfg.all_logits else [B, 1, n_vocab]
         embeddings [B, D] f32 — final pre-output hidden of the last valid
         token (the reference's embeddings tap, lib/llama.cpp:455-460).
@@ -260,12 +326,13 @@ def forward(params: LlamaParams, tokens: jax.Array, n_past: jax.Array,
     positions = n_past + jnp.arange(t, dtype=jnp.int32)
     positions = jnp.broadcast_to(positions[None, :], (b, t))
 
-    x = embed_tokens(params.tok_embeddings, tokens, act_dtype)
+    x = embed_tokens(params.tok_embeddings, tokens, act_dtype, cfg)
 
-    for li, layer in enumerate(params.layers):
+    new_kv: list[KVPair] = []
+    for layer, kv in zip(params.layers, kv_caches):
         attn_in = rms_norm(x, layer.attention_norm, cfg.rms_eps)
-        attn_out, kv_k, kv_v = _attention(
-            attn_in, layer, li, positions, kv_k, kv_v, cfg)
+        attn_out, kv = _attention(attn_in, layer, positions, kv, cfg)
+        new_kv.append(kv)
         x = x + attn_out
         ffn_in = rms_norm(x, layer.ffn_norm, cfg.rms_eps)
         x = x + _ffn(ffn_in, layer, cfg)
@@ -274,22 +341,28 @@ def forward(params: LlamaParams, tokens: jax.Array, n_past: jax.Array,
     x_last = jax.lax.dynamic_slice_in_dim(x, last_idx, 1, axis=1)  # [B,1,D]
     embeddings = x_last[:, 0, :].astype(jnp.float32)
 
-    if cfg.all_logits:
-        logits = apply_linear(x, params.output, cfg)
-    else:
-        logits = apply_linear(x_last, params.output, cfg)
-    return logits.astype(jnp.float32), kv_k, kv_v, embeddings
+    head_in = x if cfg.all_logits else x_last
+    logits = apply_linear(head_in, params.output, cfg)
+    if params.lora_output is not None:
+        logits = logits + apply_lora(head_in.astype(jnp.float32),
+                                     params.lora_output)
+    if cfg.tp_axis is not None:
+        # the output head is vocab-sharded: assemble full logits over ICI
+        logits = jax.lax.all_gather(logits, cfg.tp_axis, axis=-1, tiled=True)
+    return logits.astype(jnp.float32), new_kv, embeddings
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("kv_k", "kv_v"))
-def forward_jit(params, tokens, n_past, kv_k, kv_v, cfg: ForwardConfig,
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("kv_caches",))
+def forward_jit(params, tokens, n_past, kv_caches, cfg: ForwardConfig,
                 last_idx=None):
-    return forward(params, tokens, n_past, kv_k, kv_v, cfg, last_idx)
+    return forward(params, tokens, n_past, kv_caches, cfg, last_idx)
 
 
 def init_kv_cache(hp: HyperParams, batch: int, n_ctx: int,
-                  dtype=jnp.bfloat16) -> tuple[jax.Array, jax.Array]:
+                  dtype=jnp.bfloat16) -> list[KVPair]:
     """Allocate the KV cache (reference: KVCacheBuffer::init, llama.cpp:24-51;
-    dtype is configurable where the reference hard-codes f32)."""
-    shape = (hp.n_layer, batch, n_ctx, hp.n_head, hp.head_dim)
-    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+    dtype is configurable where the reference hard-codes f32). Per-layer
+    buffers keep donated updates in place."""
+    shape = (batch, n_ctx, hp.n_head, hp.head_dim)
+    return [(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+            for _ in range(hp.n_layer)]

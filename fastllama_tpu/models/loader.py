@@ -27,20 +27,33 @@ from ..io.ggml_reader import (
 )
 from ..models.llama import LayerParams, LlamaParams
 from ..quant.tensor import make_embedding, make_matmul_weight
+from .fuse import make_layer_params
 from .runtime import LlamaModel
 
 
-def _ggml_tensor_to_runtime(ckpt, name: str):
-    ttype = ckpt.tensor_type(name)
-    if ttype == GGML_TYPE_Q4_0:
+def _ggml_spec(ckpt, name: str):
+    """('q4', codes, scales) or ('dense', [K,N]) spec for make_layer_params."""
+    if ckpt.tensor_type(name) == GGML_TYPE_Q4_0:
         codes, scales = ckpt.q4_0(name)
-        if name == "tok_embeddings.weight":
-            return make_embedding(codes, scales)
-        return make_matmul_weight(codes, scales)
+        return ("q4", codes, scales)
     dense = ckpt.dense(name)
-    if dense.ndim == 2 and name != "tok_embeddings.weight":
+    if dense.ndim == 2:
         dense = np.ascontiguousarray(dense.T)      # model wants [K, N]
-    return jnp.asarray(dense)
+    return ("dense", dense)
+
+
+def _ggml_embedding(ckpt):
+    name = "tok_embeddings.weight"
+    if ckpt.tensor_type(name) == GGML_TYPE_Q4_0:
+        return make_embedding(*ckpt.q4_0(name))
+    return jnp.asarray(ckpt.dense(name))
+
+
+def _ggml_matmul(ckpt, name: str):
+    spec = _ggml_spec(ckpt, name)
+    if spec[0] == "q4":
+        return make_matmul_weight(spec[1], spec[2])
+    return jnp.asarray(spec[1])
 
 
 def load_model(path: str, rcfg: RuntimeConfig = RuntimeConfig(),
@@ -58,30 +71,28 @@ def load_model(path: str, rcfg: RuntimeConfig = RuntimeConfig(),
         ckpt = read_ggml_checkpoint(path)
         hp = ckpt.hyperparams
         vocab = ckpt.vocab
-        names = ckpt.tensor_names()
-        loaded = {}
-        for i, nm in enumerate(names):
-            loaded[nm] = _ggml_tensor_to_runtime(ckpt, nm)
-            logger.progress(ProgressTag.LOAD, i + 1, len(names))
         layers = []
         for i in range(hp.n_layer):
             pre = f"layers.{i}."
-            layers.append(LayerParams(
-                attention_norm=loaded[pre + "attention_norm.weight"],
-                wq=loaded[pre + "attention.wq.weight"],
-                wk=loaded[pre + "attention.wk.weight"],
-                wv=loaded[pre + "attention.wv.weight"],
-                wo=loaded[pre + "attention.wo.weight"],
-                ffn_norm=loaded[pre + "ffn_norm.weight"],
-                w1=loaded[pre + "feed_forward.w1.weight"],
-                w2=loaded[pre + "feed_forward.w2.weight"],
-                w3=loaded[pre + "feed_forward.w3.weight"],
+            layers.append(make_layer_params(
+                hp.n_head,
+                attention_norm=ckpt.dense(pre + "attention_norm.weight"),
+                ffn_norm=ckpt.dense(pre + "ffn_norm.weight"),
+                wq=_ggml_spec(ckpt, pre + "attention.wq.weight"),
+                wk=_ggml_spec(ckpt, pre + "attention.wk.weight"),
+                wv=_ggml_spec(ckpt, pre + "attention.wv.weight"),
+                wo=_ggml_spec(ckpt, pre + "attention.wo.weight"),
+                w1=_ggml_spec(ckpt, pre + "feed_forward.w1.weight"),
+                w2=_ggml_spec(ckpt, pre + "feed_forward.w2.weight"),
+                w3=_ggml_spec(ckpt, pre + "feed_forward.w3.weight"),
             ))
+            logger.progress(ProgressTag.LOAD, i + 1, hp.n_layer + 1)
         params = LlamaParams(
-            tok_embeddings=loaded["tok_embeddings.weight"],
-            norm=loaded["norm.weight"],
-            output=loaded["output.weight"],
+            tok_embeddings=_ggml_embedding(ckpt),
+            norm=jnp.asarray(ckpt.dense("norm.weight")),
+            output=_ggml_matmul(ckpt, "output.weight"),
             layers=layers)
+        logger.progress(ProgressTag.LOAD, hp.n_layer + 1, hp.n_layer + 1)
 
     model_id = model_id_from_layers(hp.n_layer)
     logger.log("Model", f"n_vocab = {hp.n_vocab}\n")

@@ -37,7 +37,7 @@ class LlamaModel:
         self.is_valid = True
 
         kv_dtype = jnp.dtype(rcfg.kv_dtype)
-        self.kv_k, self.kv_v = init_kv_cache(self.hp, 1, rcfg.n_ctx, kv_dtype)
+        self.kv = init_kv_cache(self.hp, 1, rcfg.n_ctx, kv_dtype)
         self.n_cached = 0    # tokens resident in the cache (state save/load)
 
         base = dict(n_head=hp.n_head, n_rot=hp.n_rot,
@@ -79,9 +79,9 @@ class LlamaModel:
         buf[0, :t] = np.asarray(tokens, np.int32)
 
         cfg = self._cfg_all if all_logits else self._cfg_last
-        logits, self.kv_k, self.kv_v, self._embeddings = forward_jit(
+        logits, self.kv, self._embeddings = forward_jit(
             self.params, jnp.asarray(buf), jnp.int32(n_past),
-            self.kv_k, self.kv_v, cfg, jnp.int32(t - 1))
+            self.kv, cfg, jnp.int32(t - 1))
         self.n_cached = max(self.n_cached, n_past + t)
 
         out = np.asarray(logits[0])
@@ -104,23 +104,25 @@ class LlamaModel:
         the resident prefix is saved, not the whole buffer)."""
         n = self.n_cached
         # float32 on the wire: npz round-trips bfloat16 as opaque void bytes
-        return {
-            "kv_k": np.asarray(self.kv_k[:, :, :n]).astype(np.float32),
-            "kv_v": np.asarray(self.kv_v[:, :, :n]).astype(np.float32),
-        }
+        kk = np.stack([np.asarray(k[:, :n]) for k, _ in self.kv])
+        vv = np.stack([np.asarray(v[:, :n]) for _, v in self.kv])
+        return {"kv_k": kk.astype(np.float32), "kv_v": vv.astype(np.float32)}
 
     def load_kv_state(self, state: dict[str, np.ndarray]) -> None:
-        k = state["kv_k"]
+        k = state["kv_k"]          # [L, B, n, H, Dh]
         n = k.shape[2]
         if n > self.hp.n_ctx:
             raise ValueError(f"saved KV length {n} exceeds n_ctx={self.hp.n_ctx}")
-        kv_dtype = self.kv_k.dtype
-        kk = np.zeros(np.shape(self.kv_k), np.float32)
-        vv = np.zeros_like(kk)
-        kk[:, :, :n] = k
-        vv[:, :, :n] = state["kv_v"]
-        self.kv_k = jnp.asarray(kk, kv_dtype)
-        self.kv_v = jnp.asarray(vv, kv_dtype)
+        kv_dtype = self.kv[0][0].dtype
+        shape = self.kv[0][0].shape
+        new_kv = []
+        for li in range(self.hp.n_layer):
+            kk = np.zeros(shape, np.float32)
+            vv = np.zeros(shape, np.float32)
+            kk[:, :n] = k[li]
+            vv[:, :n] = state["kv_v"][li]
+            new_kv.append((jnp.asarray(kk, kv_dtype), jnp.asarray(vv, kv_dtype)))
+        self.kv = new_kv
         self.n_cached = n
 
     def set_threads(self, n: int) -> None:
@@ -134,13 +136,13 @@ class LlamaModel:
         lib/llama.cpp:901-919 via attach_or_detach_lora_helper 697-899).
 
         Unlike the reference — which rewrites W in place and warns that
-        quantized bases lose quality (llama.cpp:840-846) — the adapter is
-        kept as a separate additive term fused into the matmul (LoraAdapted),
-        so attach is lossless and detach restores bit-identical weights.
+        quantized bases lose quality (llama.cpp:840-846) — each adapter is a
+        separate additive LoraTerm applied alongside the fused matmuls, so
+        attach is lossless and detach restores bit-identical weights in O(1).
         """
         from ..engine.logger import ProgressTag
         from ..io.ggml_reader import MAGIC_GGLA, read_ggml_file
-        from .llama import LoraAdapted
+        from .llama import LoraTerm
 
         if getattr(self, "_lora_path", None):
             self.logger.log_err("attach_lora",
@@ -157,7 +159,7 @@ class LlamaModel:
         use_cache = gg.lora_params["use_cache_matrix"]
 
         # group adapter tensors by base weight name
-        groups: dict[str, dict[str, object]] = {}
+        groups: dict[str, dict[str, str]] = {}
         for name in gg.tensors:
             if name.endswith(".lora"):
                 groups.setdefault(name[:-len(".lora")], {})["delta"] = name
@@ -172,25 +174,23 @@ class LlamaModel:
 
         import jax.numpy as jnp
         w_dtype = jnp.dtype(self.rcfg.weight_dtype)
-        wraps: dict[str, LoraAdapted] = {}
+        staged: list[tuple[object, str, LoraTerm]] = []
         done = 0
         for base_name, g in groups.items():
-            target = self._find_linear(base_name)
-            if target is None:
+            slot = self._lora_slot(base_name)
+            if slot is None:
                 self.logger.log_err(
                     "attach_lora", f"unknown base tensor '{base_name}' — are "
                     "you sure that this adapter is for this model?\n")
                 return False
-            holder, attr, current = target
+            holder, attr = slot
             if use_cache:
                 if "delta" not in g:
                     self.logger.log_err("attach_lora",
                                         f"missing cached ΔW for '{base_name}'\n")
                     return False
                 delta = gg.dense(g["delta"])          # [N, K] numpy orient.
-                wrapped = LoraAdapted(
-                    base=current,
-                    delta=jnp.asarray(delta.T.astype(w_dtype)))
+                term = LoraTerm(delta=jnp.asarray(delta.T.astype(w_dtype)))
             else:
                 if "a" not in g or "b" not in g:
                     self.logger.log_err("attach_lora",
@@ -198,34 +198,30 @@ class LlamaModel:
                     return False
                 a = gg.dense(g["a"])                  # [K, r] (pre-scaled A^T)
                 b = gg.dense(g["b"])                  # [N, r]
-                wrapped = LoraAdapted(
-                    base=current,
-                    a=jnp.asarray(a.astype(w_dtype)),
-                    b=jnp.asarray(b.T.astype(w_dtype)))
-            wraps[base_name] = (holder, attr, wrapped)
+                term = LoraTerm(a=jnp.asarray(a.astype(w_dtype)),
+                                b=jnp.asarray(b.T.astype(w_dtype)))
+            staged.append((holder, attr, term))
             done += 1
             self.logger.progress(ProgressTag.ATTACH_LORA, done, len(groups))
 
-        for base_name, (holder, attr, wrapped) in wraps.items():
-            setattr(holder, attr, wrapped)
+        for holder, attr, term in staged:
+            setattr(holder, attr, term)
         self._lora_path = path
         return True
 
     def detach_lora(self) -> bool:
-        """O(1) detach: unwrap every LoraAdapted (reference re-reads the
-        adapter file and subtracts, llama.cpp:921-944)."""
+        """O(1) detach: drop every LoraTerm (reference re-reads the adapter
+        file and subtracts, llama.cpp:921-944)."""
         from ..engine.logger import ProgressTag
-        from .llama import LoraAdapted
         if not getattr(self, "_lora_path", None):
             self.logger.log_err("detach_lora", "no adapter attached\n")
             return False
-        n = 0
-        for holder, attr in self._iter_linear_slots():
-            w = getattr(holder, attr)
-            if isinstance(w, LoraAdapted):
-                setattr(holder, attr, w.base)
-                n += 1
-                self.logger.progress(ProgressTag.DETACH_LORA, n, n)
+        self.params.lora_output = None
+        for layer in self.params.layers:
+            for attr in ("lora_wq", "lora_wk", "lora_wv", "lora_wo",
+                         "lora_w1", "lora_w2", "lora_w3"):
+                setattr(layer, attr, None)
+        self.logger.progress(ProgressTag.DETACH_LORA, 1, 1)
         self._lora_path = None
         return True
 
@@ -233,17 +229,11 @@ class LlamaModel:
     def lora_path(self) -> str | None:
         return getattr(self, "_lora_path", None)
 
-    def _iter_linear_slots(self):
-        yield self.params, "output"
-        for layer in self.params.layers:
-            for attr in ("wq", "wk", "wv", "wo", "w1", "w2", "w3"):
-                yield layer, attr
-
-    def _find_linear(self, ggml_name: str):
-        """Map a ggml tensor name to (holder, attr, value) in the pytree."""
+    def _lora_slot(self, ggml_name: str):
+        """Map a ggml base-tensor name to (holder, lora_field)."""
         import re
         if ggml_name == "output.weight":
-            return self.params, "output", self.params.output
+            return self.params, "lora_output"
         m = re.match(
             r"layers\.(\d+)\.(attention\.(wq|wk|wv|wo)|feed_forward\.(w1|w2|w3))"
             r"\.weight$", ggml_name)
@@ -252,6 +242,5 @@ class LlamaModel:
         li = int(m.group(1))
         if li >= len(self.params.layers):
             return None
-        attr = m.group(3) or m.group(4)
-        layer = self.params.layers[li]
-        return layer, attr, getattr(layer, attr)
+        attr = "lora_" + (m.group(3) or m.group(4))
+        return self.params.layers[li], attr

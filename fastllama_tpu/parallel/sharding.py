@@ -1,0 +1,156 @@
+"""Mesh + sharding: the framework's multi-chip story.
+
+The reference has no compute parallelism beyond threads (SURVEY.md §2.3);
+its only sharding concept is the file-level ByRows/ByColumns table
+(include/tensor/utils.hpp:101-112) used to *merge* Meta's model-parallel
+checkpoints. Here that same name->axis table becomes real compute sharding:
+
+  output-sharded on "model" (columns of the [K, N] layout):
+      wqkv (whole heads per shard, see models/fuse.py), w13 (gate/up pairs),
+      the output head (vocab)
+  reduction-sharded (rows -> psum over ICI):  wo, w2
+  vocab-sharded:                              tok_embeddings
+  replicated:                                 norms
+  KV cache:                                   heads on "model", batch on "data"
+
+The forward pass runs under `shard_map` with explicit `psum` /
+`all_gather` collectives over ICI (models/llama.py tp_axis branches) —
+Megatron-style TP, two psums per layer. Weights enter pre-sharded via
+NamedSharding device_puts so each chip only ever holds its shard.
+
+Spec trees use pytree *prefixes*: a single PartitionSpec at a
+QuantMatmulWeight position applies to both its qs and scales planes (their
+specs always coincide in this layout).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.llama import (
+    ForwardConfig, KVPair, LayerParams, LlamaParams, LoraTerm, forward,
+)
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+OUT_SHARDED = P(None, MODEL_AXIS)    # [K, N] with N split
+RED_SHARDED = P(MODEL_AXIS, None)    # [K, N] with K split (psum after)
+REPLICATED = P()
+
+# per-layer KV buffer [B, S, H, Dh]: batch on data, heads on model
+KV_SPEC = P(DATA_AXIS, None, MODEL_AXIS, None)
+
+
+def make_mesh(n_data: int = 1, n_model: int = 1,
+              devices: list | None = None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = n_data * n_model
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    arr = np.asarray(devices[:n]).reshape(n_data, n_model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def _lora_spec(base_spec: P, t: LoraTerm | None):
+    """LoRA term sharding follows its base weight: output-sharded bases shard
+    b/delta columns; reduction-sharded bases shard a/delta rows (the partial
+    sums ride the layer's existing psum)."""
+    if t is None:
+        return None
+    if base_spec == OUT_SHARDED:
+        return LoraTerm(
+            delta=None if t.delta is None else OUT_SHARDED,
+            a=None if t.a is None else REPLICATED,
+            b=None if t.b is None else OUT_SHARDED)
+    return LoraTerm(
+        delta=None if t.delta is None else RED_SHARDED,
+        a=None if t.a is None else RED_SHARDED,
+        b=None if t.b is None else REPLICATED)
+
+
+def params_pspec_tree(params: LlamaParams) -> LlamaParams:
+    """A prefix tree of PartitionSpecs matching the params structure."""
+    layers = []
+    for layer in params.layers:
+        layers.append(LayerParams(
+            attention_norm=REPLICATED,
+            wqkv=OUT_SHARDED,
+            wo=RED_SHARDED,
+            ffn_norm=REPLICATED,
+            w13=OUT_SHARDED,
+            w2=RED_SHARDED,
+            lora_wq=_lora_spec(OUT_SHARDED, layer.lora_wq),
+            lora_wk=_lora_spec(OUT_SHARDED, layer.lora_wk),
+            lora_wv=_lora_spec(OUT_SHARDED, layer.lora_wv),
+            lora_wo=_lora_spec(RED_SHARDED, layer.lora_wo),
+            lora_w1=_lora_spec(OUT_SHARDED, layer.lora_w1),
+            lora_w2=_lora_spec(RED_SHARDED, layer.lora_w2),
+            lora_w3=_lora_spec(OUT_SHARDED, layer.lora_w3),
+        ))
+    return LlamaParams(
+        tok_embeddings=P(MODEL_AXIS, None),     # vocab rows split
+        norm=REPLICATED,
+        output=OUT_SHARDED,
+        layers=layers,
+        lora_output=_lora_spec(OUT_SHARDED, params.lora_output),
+    )
+
+
+def shard_params(params: LlamaParams, mesh: Mesh) -> LlamaParams:
+    """device_put every leaf with its NamedSharding (weights pre-sharded)."""
+    from ..quant.tensor import QuantMatmulWeight
+
+    # Sharded quant weights must be unpadded in N: the static n_logical aux
+    # cannot follow the shards (q4_matmul then trusts local shard widths).
+    for leaf in jax.tree.leaves(
+            params, is_leaf=lambda x: isinstance(x, QuantMatmulWeight)):
+        if isinstance(leaf, QuantMatmulWeight) and leaf.n_padded != leaf.n_logical:
+            raise ValueError(
+                f"cannot shard an N-padded quant weight "
+                f"({leaf.n_logical} padded to {leaf.n_padded}); choose dims "
+                f"that are multiples of 256")
+    specs = params_pspec_tree(params)
+    shardings = jax.tree.map(
+        lambda s: NamedSharding(mesh, s), specs,
+        is_leaf=lambda x: isinstance(x, P))
+    return jax.device_put(params, shardings)
+
+
+def shard_kv(kv: list[KVPair], mesh: Mesh) -> list[KVPair]:
+    sh = NamedSharding(mesh, KV_SPEC)
+    return [(jax.device_put(k, sh), jax.device_put(v, sh)) for k, v in kv]
+
+
+def make_sharded_forward(mesh: Mesh, params: LlamaParams, cfg: ForwardConfig):
+    """Build a jitted shard_map forward over the mesh.
+
+    cfg.n_head must be the GLOBAL head count; it is divided by the model-axis
+    size here. Returns fn(params, tokens [B,T], n_past, kv_caches, last_idx)
+    -> (logits, kv_caches, embeddings), with B divisible by the data axis.
+    """
+    tp = mesh.shape[MODEL_AXIS]
+    if cfg.n_head % tp:
+        raise ValueError(f"n_head={cfg.n_head} not divisible by tp={tp}")
+    local_cfg = dataclasses.replace(
+        cfg, n_head=cfg.n_head // tp, tp_axis=MODEL_AXIS,
+        kv_update=cfg.kv_update)
+
+    pspecs = params_pspec_tree(params)
+    n_layers = len(params.layers)
+    kv_specs = [(KV_SPEC, KV_SPEC)] * n_layers
+    in_specs = (pspecs, P(DATA_AXIS, None), P(), kv_specs, P())
+    out_specs = (P(DATA_AXIS, None, None), kv_specs, P(DATA_AXIS, None))
+
+    def fwd(p, tokens, n_past, kv_caches, last_idx):
+        return forward(p, tokens, n_past, kv_caches, local_cfg, last_idx)
+
+    sharded = shard_map(fwd, mesh=mesh, in_specs=in_specs,
+                        out_specs=out_specs, check_vma=False)
+    return jax.jit(sharded, donate_argnums=(3,))

@@ -36,11 +36,25 @@ class QuantMatmulWeight:
     """A q4_0-quantized matmul RHS of logical shape [K, N] (y = x @ W).
 
     Attributes:
-      qs: uint8 [K//2, N] split-K packed nibbles (stored value = signed+8).
-      scales: f32 [K//32, N] per-block scale d.
+      qs: uint8 [K_pad//2, N_pad] split-K packed nibbles (value = signed+8).
+      scales: f32 [K_pad//32, N_pad] per-block scale d.
+      n_logical: true output width (callers receive y[..., :n_logical]).
+        Storage may be zero-padded (codes=8, scales=0 -> contributes 0) so
+        awkward dims like n_ff=11008 tile onto big, low-overhead Pallas
+        blocks; padding is numerically inert.
+
+    The *stored K* may likewise exceed the activation K; q4_matmul zero-pads
+    x up to it.
     """
     qs: jax.Array
     scales: jax.Array
+    n_logical: int = 0
+
+    def __post_init__(self):
+        if not self.n_logical and hasattr(self.qs, "shape"):
+            # default: no padding (guard: leaves may be non-array placeholders
+            # during tree transformations)
+            self.n_logical = self.qs.shape[1]
 
     @property
     def k(self) -> int:
@@ -48,19 +62,22 @@ class QuantMatmulWeight:
 
     @property
     def n(self) -> int:
+        return self.n_logical
+
+    @property
+    def n_padded(self) -> int:
         return self.qs.shape[1]
 
     @property
     def shape(self) -> tuple[int, int]:
-        return (self.k, self.n)
+        return (self.k, self.n_logical)
 
     def tree_flatten(self):
-        return (self.qs, self.scales), None
+        return (self.qs, self.scales), (self.n_logical,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        del aux
-        return cls(*children)
+        return cls(*children, n_logical=aux[0])
 
 
 @jax.tree_util.register_pytree_node_class
@@ -115,23 +132,62 @@ def split_unpack_lastdim(packed: np.ndarray) -> np.ndarray:
     return out.reshape(*lead, kh * 2)
 
 
+def pad_multiple(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def pack_codes_split_k(codes_t: np.ndarray) -> np.ndarray:
+    """[K, N] uint8 codes -> [K/2, N] split-K packed bytes."""
+    k, n = codes_t.shape
+    blocks = codes_t.reshape(k // QBLOCK, QBLOCK, n)
+    packed = (blocks[:, : QBLOCK // 2, :] | (blocks[:, QBLOCK // 2:, :] << 4))
+    return packed.reshape(k // 2, n).astype(np.uint8)
+
+
 def make_matmul_weight(codes: np.ndarray, scales: np.ndarray,
-                       scale_dtype: Any = np.float32) -> QuantMatmulWeight:
+                       scale_dtype: Any = np.float32,
+                       pad_k: int = 256, pad_n: int = 256) -> QuantMatmulWeight:
     """Build the device layout from row-major quantizer output.
 
     Args:
       codes: uint8 [N, K] (as produced by quant.q4.quantize_q4_0 on a weight
         whose ggml orientation is [N rows, K cols], i.e. y = W @ x^T rows).
       scales: f32 [N, K//32].
+      pad_k/pad_n: round the stored dims up to these multiples with inert
+        padding (codes=8, scales=0) so awkward dims (e.g. n_ff=11008) map to
+        large aligned Pallas tiles. The logical N is preserved in the
+        container; q4_matmul slices outputs and zero-pads activations.
     """
     n, k = codes.shape
-    codes_t = np.ascontiguousarray(np.asarray(codes, np.uint8).T)       # [K, N]
-    scales_t = np.ascontiguousarray(np.asarray(scales, np.float32).T)   # [K//32, N]
-    blocks = codes_t.reshape(k // QBLOCK, QBLOCK, n)
-    packed = (blocks[:, : QBLOCK // 2, :] | (blocks[:, QBLOCK // 2:, :] << 4))
-    packed = packed.reshape(k // 2, n).astype(np.uint8)
+    k_pad = pad_multiple(k, pad_k)
+    n_pad = pad_multiple(n, pad_n)
+    codes_t = np.full((k_pad, n_pad), 8, np.uint8)
+    codes_t[:k, :n] = np.asarray(codes, np.uint8).T
+    scales_t = np.zeros((k_pad // QBLOCK, n_pad), np.float32)
+    scales_t[: k // QBLOCK, :n] = np.asarray(scales, np.float32).T
+    packed = pack_codes_split_k(codes_t)
     return QuantMatmulWeight(qs=jnp.asarray(packed),
-                             scales=jnp.asarray(scales_t.astype(scale_dtype)))
+                             scales=jnp.asarray(scales_t.astype(scale_dtype)),
+                             n_logical=n)
+
+
+def matmul_weight_from_planes(qs: np.ndarray, scales: np.ndarray,
+                              pad_k: int = 256, pad_n: int = 256
+                              ) -> QuantMatmulWeight:
+    """Build from unpadded device-layout planes (qs [K/2, N], scales
+    [K/32, N]), applying inert tile padding."""
+    kh, n = qs.shape
+    k = kh * 2
+    k_pad = pad_multiple(k, pad_k)
+    n_pad = pad_multiple(n, pad_n)
+    if (k_pad, n_pad) != (k, n):
+        out_qs = np.full((k_pad // 2, n_pad), 0x88, np.uint8)
+        out_qs[:kh, :n] = qs
+        out_sc = np.zeros((k_pad // QBLOCK, n_pad), np.float32)
+        out_sc[: k // QBLOCK, :n] = scales
+        qs, scales = out_qs, out_sc
+    return QuantMatmulWeight(qs=jnp.asarray(qs), scales=jnp.asarray(scales),
+                             n_logical=n)
 
 
 def make_embedding(codes: np.ndarray, scales: np.ndarray) -> QuantEmbedding:
@@ -141,14 +197,20 @@ def make_embedding(codes: np.ndarray, scales: np.ndarray) -> QuantEmbedding:
                           scales=jnp.asarray(np.asarray(scales, np.float32)))
 
 
-def matmul_weight_to_codes(w: QuantMatmulWeight) -> tuple[np.ndarray, np.ndarray]:
-    """Device layout -> row-major (codes [N, K], scales [N, K//32]) numpy."""
-    packed = np.asarray(w.qs)                      # [K/2, N]
-    kh, n = packed.shape
-    blocks = packed.reshape(kh // (QBLOCK // 2), QBLOCK // 2, n)
-    codes_t = np.concatenate([blocks & 0x0F, blocks >> 4], axis=1).reshape(kh * 2, n)
+def matmul_weight_to_codes(w: QuantMatmulWeight,
+                           k_logical: int | None = None
+                           ) -> tuple[np.ndarray, np.ndarray]:
+    """Device layout -> row-major (codes [N, K], scales [N, K//32]) numpy.
+    Padding is stripped (N via n_logical; K via k_logical if given)."""
+    packed = np.asarray(w.qs)                      # [K_pad/2, N_pad]
+    kh, n_pad = packed.shape
+    blocks = packed.reshape(kh // (QBLOCK // 2), QBLOCK // 2, n_pad)
+    codes_t = np.concatenate([blocks & 0x0F, blocks >> 4], axis=1).reshape(kh * 2, n_pad)
     scales_t = np.asarray(w.scales, np.float32)
-    return np.ascontiguousarray(codes_t.T), np.ascontiguousarray(scales_t.T)
+    k = k_logical or kh * 2
+    codes = np.ascontiguousarray(codes_t[:k, :w.n_logical].T)
+    scales = np.ascontiguousarray(scales_t[: k // QBLOCK, :w.n_logical].T)
+    return codes, scales
 
 
 # ---------------------------------------------------------------------------

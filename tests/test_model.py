@@ -8,6 +8,7 @@ from fastllama_tpu.config import HyperParams
 from fastllama_tpu.models.llama import (
     ForwardConfig, LayerParams, LlamaParams, forward, init_kv_cache, rms_norm,
 )
+from fastllama_tpu.models.fuse import make_layer_params
 from fastllama_tpu.kernels.rope import rope_interleaved
 
 from numpy_ref import (
@@ -20,15 +21,16 @@ N_FF = 48
 
 
 def make_params(weights):
+    """Oracle weights are [in, out] = the model's [K, N] dense convention."""
     layers = []
     for lw in weights["layers"]:
-        layers.append(LayerParams(
-            attention_norm=jnp.asarray(lw["attention_norm"]),
-            wq=jnp.asarray(lw["wq"]), wk=jnp.asarray(lw["wk"]),
-            wv=jnp.asarray(lw["wv"]), wo=jnp.asarray(lw["wo"]),
-            ffn_norm=jnp.asarray(lw["ffn_norm"]),
-            w1=jnp.asarray(lw["w1"]), w2=jnp.asarray(lw["w2"]),
-            w3=jnp.asarray(lw["w3"]),
+        layers.append(make_layer_params(
+            HP.n_head,
+            attention_norm=lw["attention_norm"], ffn_norm=lw["ffn_norm"],
+            wq=("dense", lw["wq"]), wk=("dense", lw["wk"]),
+            wv=("dense", lw["wv"]), wo=("dense", lw["wo"]),
+            w1=("dense", lw["w1"]), w2=("dense", lw["w2"]),
+            w3=("dense", lw["w3"]),
         ))
     return LlamaParams(
         tok_embeddings=jnp.asarray(weights["tok_embeddings"]),
@@ -84,14 +86,14 @@ def test_forward_prefill_parity():
     kv_v_np = np.zeros_like(kv_k_np)
     want = np_forward(weights, tokens, 0, kv_k_np, kv_v_np, HP.n_head, HP.n_rot)
 
-    kv_k, kv_v = init_kv_cache(HP, 1, s, dtype=jnp.float32)
-    logits, kv_k, kv_v, emb = forward(
-        params, jnp.asarray(tokens)[None, :], jnp.int32(0), kv_k, kv_v, CFG)
+    kv = init_kv_cache(HP, 1, s, dtype=jnp.float32)
+    logits, kv, emb = forward(
+        params, jnp.asarray(tokens)[None, :], jnp.int32(0), kv, CFG)
     np.testing.assert_allclose(np.asarray(logits)[0], want, rtol=1e-4, atol=1e-4)
 
     # KV cache contents must match for the written range
-    np.testing.assert_allclose(np.asarray(kv_k)[:, 0, :5], kv_k_np[:, :5],
-                               rtol=1e-4, atol=1e-4)
+    got_k = np.stack([np.asarray(k)[0, :5] for k, _ in kv])
+    np.testing.assert_allclose(got_k, kv_k_np[:, :5], rtol=1e-4, atol=1e-4)
 
 
 def test_forward_decode_matches_prefill():
@@ -103,15 +105,15 @@ def test_forward_decode_matches_prefill():
     tokens = np.array([2, 7, 11, 4], np.int32)
     s = 8
 
-    kv_k, kv_v = init_kv_cache(HP, 1, s, dtype=jnp.float32)
+    kv = init_kv_cache(HP, 1, s, dtype=jnp.float32)
     logits_all, *_ = forward(params, jnp.asarray(tokens)[None, :],
-                             jnp.int32(0), kv_k, kv_v, CFG)
+                             jnp.int32(0), kv, CFG)
 
-    kv_k, kv_v = init_kv_cache(HP, 1, s, dtype=jnp.float32)
+    kv = init_kv_cache(HP, 1, s, dtype=jnp.float32)
     outs = []
     for i, tok in enumerate(tokens):
-        logits, kv_k, kv_v, _ = forward(
-            params, jnp.asarray([[tok]], jnp.int32), jnp.int32(i), kv_k, kv_v, CFG)
+        logits, kv, _ = forward(
+            params, jnp.asarray([[tok]], jnp.int32), jnp.int32(i), kv, CFG)
         outs.append(np.asarray(logits)[0, -1])
     np.testing.assert_allclose(np.stack(outs), np.asarray(logits_all)[0],
                                rtol=2e-4, atol=2e-4)
@@ -128,19 +130,18 @@ def test_forward_padded_tokens_do_not_corrupt():
     real = np.array([1, 5, 9], np.int32)
     padded = np.array([1, 5, 9, 0, 0], np.int32)
 
-    kv_k, kv_v = init_kv_cache(HP, 1, s, dtype=jnp.float32)
-    l_real, *_ = forward(params, jnp.asarray(real)[None], jnp.int32(0), kv_k, kv_v, CFG)
+    kv = init_kv_cache(HP, 1, s, dtype=jnp.float32)
+    l_real, *_ = forward(params, jnp.asarray(real)[None], jnp.int32(0), kv, CFG)
 
-    kv_k, kv_v = init_kv_cache(HP, 1, s, dtype=jnp.float32)
-    l_pad, kv_k2, kv_v2, _ = forward(params, jnp.asarray(padded)[None],
-                                     jnp.int32(0), kv_k, kv_v, CFG)
+    kv = init_kv_cache(HP, 1, s, dtype=jnp.float32)
+    l_pad, kv2, _ = forward(params, jnp.asarray(padded)[None],
+                            jnp.int32(0), kv, CFG)
     np.testing.assert_allclose(np.asarray(l_pad)[0, :3], np.asarray(l_real)[0],
                                rtol=1e-5, atol=1e-5)
     # continue from n_past=3 with a real token; must match the clean path
     tok = jnp.asarray([[12]], jnp.int32)
-    a, *_ = forward(params, tok, jnp.int32(3), kv_k2, kv_v2, CFG)
-    kv_k3, kv_v3 = init_kv_cache(HP, 1, s, dtype=jnp.float32)
-    _, kv_k3, kv_v3, _ = forward(params, jnp.asarray(real)[None], jnp.int32(0),
-                                 kv_k3, kv_v3, CFG)
-    b, *_ = forward(params, tok, jnp.int32(3), kv_k3, kv_v3, CFG)
+    a, *_ = forward(params, tok, jnp.int32(3), kv2, CFG)
+    kv3 = init_kv_cache(HP, 1, s, dtype=jnp.float32)
+    _, kv3, _ = forward(params, jnp.asarray(real)[None], jnp.int32(0), kv3, CFG)
+    b, *_ = forward(params, tok, jnp.int32(3), kv3, CFG)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)

@@ -34,27 +34,38 @@ def test_split_activation():
 
 def test_xla_matmul_f32_exact():
     x, w, y_ref = _setup(4, 64, 32)
-    y = q4_matmul_xla(x, w, w_dtype=jnp.float32)
+    y = q4_matmul(x, w, use_pallas=False, w_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-5, atol=1e-4)
 
 
 def test_xla_matmul_bf16_close():
     x, w, y_ref = _setup(8, 128, 64)
-    y = q4_matmul_xla(x, w, w_dtype=jnp.bfloat16)
+    y = q4_matmul(x, w, use_pallas=False, w_dtype=jnp.bfloat16)
     np.testing.assert_allclose(np.asarray(y), y_ref, rtol=3e-2, atol=3e-1)
 
 
+def test_padding_is_inert():
+    # dims forcing both K and N padding (64 -> 256); results must equal the
+    # unpadded reference matmul exactly
+    x, w, y_ref = _setup(4, 64, 96)
+    assert w.n_padded == 256 and w.k == 256 and w.n_logical == 96
+    y = q4_matmul(x, w, use_pallas=False, w_dtype=jnp.float32)
+    assert y.shape == (4, 96)
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-5, atol=1e-4)
+
+
 def test_pallas_interpret_matches_xla():
-    x, w, y_ref = _setup(8, 128, 128)
-    y_p = q4_matmul_pallas(x, w.qs, w.scales, interpret=True,
-                           w_dtype=jnp.float32)
+    x, w, y_ref = _setup(8, 256, 128)
+    y_p = q4_matmul(x, w, use_pallas=True, interpret=True,
+                    w_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(y_p), y_ref, rtol=1e-5, atol=1e-4)
 
 
 def test_pallas_interpret_multi_k_tiles():
-    x, w, y_ref = _setup(8, 256, 128)
-    y_p = q4_matmul_pallas(x, w.qs, w.scales, interpret=True,
-                           block_k=64, block_n=128, w_dtype=jnp.float32)
+    x, w, y_ref = _setup(8, 512, 256)
+    y_p = q4_matmul_pallas(jnp.pad(x, ((0, 0), (0, 0))), w.qs, w.scales,
+                           interpret=True, block_k=128, block_n=256,
+                           w_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(y_p), y_ref, rtol=1e-5, atol=1e-4)
 
 

@@ -145,8 +145,9 @@ def test_matmul_weight_layout_roundtrip():
     codes = rng.integers(0, 16, (n, k), dtype=np.uint8)
     scales = rng.standard_normal((n, k // 32)).astype(np.float32)
     w = make_matmul_weight(codes, scales)
-    assert w.shape == (k, n)
-    codes2, scales2 = matmul_weight_to_codes(w)
+    # storage is padded to 256-multiples; logical N preserved
+    assert w.n_logical == n and w.k == 256 and w.n_padded == 256
+    codes2, scales2 = matmul_weight_to_codes(w, k_logical=k)
     assert (codes2 == codes).all()
     assert (scales2 == scales).all()
 
@@ -160,7 +161,9 @@ def test_dequant_matmul_weight_matches_reference_dequant():
     w = make_matmul_weight(codes, scales)
     dense = np.asarray(dequant_matmul_weight(w, dtype=jnp.float32))
     ref = q4.dequantize_q4_0(codes, scales)  # [N, K]
-    np.testing.assert_array_equal(dense, ref.T)
+    # stored dims are padded; the logical corner must match, padding must be 0
+    np.testing.assert_array_equal(dense[:64, :24], ref.T)
+    assert (dense[64:] == 0).all() and (dense[:, 24:] == 0).all()
 
 
 def test_dequant_embedding_rows():

@@ -7,7 +7,8 @@ import pytest
 from fastllama_tpu.config import HyperParams, RuntimeConfig
 from fastllama_tpu.engine.session import FastLlama
 from fastllama_tpu.engine.tokenizer import Vocab
-from fastllama_tpu.models.llama import LayerParams, LlamaParams
+from fastllama_tpu.models.fuse import make_layer_params
+from fastllama_tpu.models.llama import LlamaParams
 from fastllama_tpu.models.runtime import LlamaModel
 from fastllama_tpu.quant.q4 import quantize_q4_0
 from fastllama_tpu.quant.tensor import make_embedding, make_matmul_weight
@@ -27,18 +28,22 @@ def tiny_model():
 
     def qw(k_in, n_out, scale=0.15):
         dense = (rng.standard_normal((n_out, k_in)) * scale).astype(np.float32)
-        return make_matmul_weight(*quantize_q4_0(dense))
+        return ("q4",) + quantize_q4_0(dense)
 
-    layers = [LayerParams(
-        attention_norm=jnp.ones(hp.n_embd), wq=qw(hp.n_embd, hp.n_embd),
-        wk=qw(hp.n_embd, hp.n_embd), wv=qw(hp.n_embd, hp.n_embd),
-        wo=qw(hp.n_embd, hp.n_embd), ffn_norm=jnp.ones(hp.n_embd),
+    layers = [make_layer_params(
+        hp.n_head,
+        attention_norm=np.ones(hp.n_embd, np.float32),
+        ffn_norm=np.ones(hp.n_embd, np.float32),
+        wq=qw(hp.n_embd, hp.n_embd), wk=qw(hp.n_embd, hp.n_embd),
+        wv=qw(hp.n_embd, hp.n_embd), wo=qw(hp.n_embd, hp.n_embd),
         w1=qw(hp.n_embd, 96), w2=qw(96, hp.n_embd), w3=qw(hp.n_embd, 96),
     ) for _ in range(hp.n_layer)]
     emb = (rng.standard_normal((hp.n_vocab, hp.n_embd)) * 0.4).astype(np.float32)
+    dense_out = (rng.standard_normal((hp.n_vocab, hp.n_embd)) * 0.15).astype(np.float32)
     params = LlamaParams(
         tok_embeddings=make_embedding(*quantize_q4_0(emb)),
-        norm=jnp.ones(hp.n_embd), output=qw(hp.n_embd, hp.n_vocab),
+        norm=jnp.ones(hp.n_embd),
+        output=make_matmul_weight(*quantize_q4_0(dense_out)),
         layers=layers)
     rcfg = RuntimeConfig(n_ctx=64, n_batch=16, kv_dtype="float32",
                          weight_dtype="float32", use_pallas=False,
