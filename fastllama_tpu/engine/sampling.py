@@ -85,7 +85,8 @@ def sample_jax(logits: jax.Array, last_tokens: jax.Array, key: jax.Array,
                top_k: int, top_p: float, temp: float,
                repeat_penalty: float) -> jax.Array:
     """Batched on-device sampler: logits [B, V], last_tokens [B, W] (pad with
-    -1), key [B, 2] per-row fold. Returns [B] int32.
+    -1), key: a single PRNG key (the [B, k] gumbel draw is vectorized from
+    it). Returns [B] int32.
 
     top_k/top_p/temp are static under jit (bucketed by the engine).
     """

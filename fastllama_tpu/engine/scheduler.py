@@ -1,0 +1,277 @@
+"""Continuous-batching engine: many concurrent sessions over one model.
+
+The reference is strictly single-stream (SURVEY.md §2.3 — its only
+"batching" is the prompt-chunk loop). This engine is the north-star addition
+(BASELINE.json configs #4/#5): a fixed pool of B slots decodes in lockstep,
+each at its own cache depth, with new requests admitted into idle slots at
+any step.
+
+TPU-native design points:
+
+  * One compiled decode step serves every slot: tokens [B, 1] with per-slot
+    positions (models/llama.py accepts n_past as a [B] vector; the KV
+    scatter path writes each row at its own offset, mode='drop' discards
+    rows flagged inactive by an out-of-range position).
+  * Prefill reuses the same batched forward: only the admitted slot's row
+    carries real tokens; every other row's position is pushed past n_ctx so
+    its cache writes drop. One compile per (bucketed) prefill length.
+  * Sampling runs on device (engine/sampling.sample_jax) with per-slot PRNG
+    keys and repetition-penalty windows; the sampled token feeds the next
+    step without a host round trip. The host drains tokens asynchronously
+    for detokenization/streaming and EOS/stop-word handling, a few steps
+    behind — late-stopped slots just produce ignored tokens.
+  * Slot state that must survive across steps lives on device (positions,
+    active mask, last-n window); host-side Request objects hold text
+    streams and lifecycle.
+"""
+from __future__ import annotations
+
+import dataclasses
+import queue
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import HyperParams, RuntimeConfig
+from ..engine.logger import Logger, NULL_LOGGER
+from ..engine.sampling import sample_jax
+from ..engine.token_buffer import TokenBuffer
+from ..engine.tokenizer import BOS_ID, EOS_ID, Vocab, tokenize
+from ..models.llama import ForwardConfig, LlamaParams, forward, init_kv_cache
+
+
+@dataclasses.dataclass
+class Request:
+    prompt: str
+    max_tokens: int = 128
+    temp: float = 0.8
+    stop_words: Sequence[str] = ()
+    streaming_fn: Optional[Callable[[str], None]] = None
+    # filled by the engine
+    rid: int = -1
+    slot: int = -1
+    text: str = ""
+    tokens_out: list[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+    n_prompt: int = 0
+
+
+@dataclasses.dataclass
+class _Slot:
+    req: Optional[Request] = None
+    n_past: int = 0
+    generated: int = 0
+    buffer: Optional[TokenBuffer] = None
+    stop_bytes: list[bytes] = dataclasses.field(default_factory=list)
+
+
+class BatchEngine:
+    def __init__(self, hp: HyperParams, params: LlamaParams, vocab: Vocab,
+                 n_slots: int = 8, n_ctx: int = 2048,
+                 rcfg: RuntimeConfig = RuntimeConfig(),
+                 sampling_seed: int = 0,
+                 top_k: int = 40, top_p: float = 0.95, temp: float = 0.8,
+                 repeat_penalty: float = 1.0, last_n: int = 64,
+                 logger: Logger = NULL_LOGGER):
+        self.hp = hp
+        self.params = params
+        self.vocab = vocab
+        self.n_slots = n_slots
+        self.n_ctx = n_ctx
+        self.logger = logger
+        self.top_k, self.top_p, self.temp = top_k, top_p, temp
+        self.repeat_penalty, self.last_n_size = repeat_penalty, last_n
+
+        kv_dtype = jnp.dtype(rcfg.kv_dtype)
+        self.kv = init_kv_cache(hp, n_slots, n_ctx, kv_dtype)
+        self.cfg = ForwardConfig(
+            n_head=hp.n_head, n_rot=hp.n_rot, w_dtype=rcfg.weight_dtype,
+            use_pallas=rcfg.use_pallas, kv_update="scatter")
+
+        # device-side slot state
+        self.d_tokens = jnp.zeros((n_slots, 1), jnp.int32)
+        self.d_npast = jnp.zeros((n_slots,), jnp.int32)
+        self.d_active = jnp.zeros((n_slots,), jnp.bool_)
+        self.d_lastn = jnp.full((n_slots, last_n), -1, jnp.int32)
+        self._base_key = jax.random.PRNGKey(sampling_seed)
+        # device-resident step counter: no per-step host->device scalar
+        # transfer in the hot loop (the tunnel makes those expensive)
+        self.d_step = jnp.uint32(0)
+
+        self.slots = [_Slot() for _ in range(n_slots)]
+        self.pending: "queue.Queue[Request]" = queue.Queue()
+        self._next_rid = 0
+        self._buckets = sorted({min(b, n_ctx) for b in rcfg.prefill_buckets}
+                               | {n_ctx})
+
+        self._decode_fn = self._build_decode()
+        self._prefill_fn = self._build_prefill()
+
+    # -- compiled steps ------------------------------------------------------
+
+    def _build_decode(self):
+        cfg = self.cfg
+        top_k, top_p = self.top_k, self.top_p
+        temp, penalty = self.temp, self.repeat_penalty
+        n_ctx = self.n_ctx
+
+        def step(params, tokens, n_past, active, lastn, key, step_i, kv):
+            # inactive slots: position beyond n_ctx -> their KV writes drop
+            eff_past = jnp.where(active, n_past, n_ctx + 1)
+            logits, kv, _ = forward(params, tokens, eff_past, kv, cfg)
+            step_key = jax.random.fold_in(key, step_i)
+            nxt = sample_jax(logits[:, -1, :], lastn, step_key,
+                             top_k=top_k, top_p=top_p, temp=temp,
+                             repeat_penalty=penalty)
+            nxt = jnp.where(active, nxt, 0)
+            lastn = jnp.where(active[:, None],
+                              jnp.concatenate([lastn[:, 1:], nxt[:, None]],
+                                              axis=1),
+                              lastn)
+            n_past = jnp.where(active, n_past + 1, n_past)
+            return nxt[:, None], n_past, lastn, step_i + 1, kv
+
+        return jax.jit(step, donate_argnums=(7,))
+
+    def _build_prefill(self):
+        cfg = self.cfg
+
+        def prefill(params, tokens, row_past, kv, last_idx):
+            # rows with row_past > n_ctx are inactive (writes drop)
+            logits, kv, _ = forward(params, tokens, row_past, kv, cfg,
+                                    last_idx)
+            return logits[:, -1, :], kv
+
+        return jax.jit(prefill, donate_argnums=(3,))
+
+    # -- request lifecycle ---------------------------------------------------
+
+    def submit(self, req: Request) -> Request:
+        req.rid = self._next_rid
+        self._next_rid += 1
+        self.pending.put(req)
+        return req
+
+    def _admit(self, slot_idx: int, req: Request) -> bool:
+        ids = tokenize(self.vocab, " " + req.prompt, bos=True)
+        if len(ids) > self.n_ctx - 4:
+            req.done = True
+            req.text = ""
+            self.logger.log_err("BatchEngine", f"request {req.rid} prompt too long\n")
+            return False
+        slot = self.slots[slot_idx]
+        slot.req = req
+        slot.n_past = 0
+        slot.generated = 0
+        slot.stop_bytes = [w.encode() for w in req.stop_words]
+        max_buf = max((len(tokenize(self.vocab, w, bos=False))
+                       for w in req.stop_words), default=0)
+
+        def emit(s, _req=req):
+            _req.text += s
+            if _req.streaming_fn:
+                _req.streaming_fn(s)
+
+        slot.buffer = TokenBuffer(self.vocab, max_buf, emit)
+        req.slot = slot_idx
+        req.n_prompt = len(ids)
+
+        # bucketed prefill: one batched call, only this row live
+        t = len(ids)
+        bucket = next((b for b in self._buckets if b >= t), self.n_ctx)
+        toks = np.zeros((self.n_slots, bucket), np.int32)
+        toks[slot_idx, :t] = ids
+        row_past = np.full((self.n_slots,), self.n_ctx + 8, np.int32)
+        row_past[slot_idx] = 0
+        logits, self.kv = self._prefill_fn(
+            self.params, jnp.asarray(toks), jnp.asarray(row_past), self.kv,
+            jnp.int32(t - 1))
+        if self.temp <= 0:
+            first = int(np.asarray(jnp.argmax(logits[slot_idx])))
+        else:
+            first = int(np.asarray(sample_jax(
+                logits[slot_idx:slot_idx + 1],
+                self.d_lastn[slot_idx:slot_idx + 1],
+                jax.random.fold_in(self._base_key, 100000 + req.rid),
+                top_k=self.top_k, top_p=self.top_p, temp=self.temp,
+                repeat_penalty=self.repeat_penalty)[0]))
+
+        slot.n_past = t
+        slot.generated = 1
+        self._emit_token(slot, first)
+
+        # update device state for this row
+        self.d_tokens = self.d_tokens.at[slot_idx, 0].set(first)
+        self.d_npast = self.d_npast.at[slot_idx].set(t)
+        self.d_active = self.d_active.at[slot_idx].set(True)
+        self.d_lastn = self.d_lastn.at[slot_idx].set(
+            jnp.full((self.last_n_size,), -1, jnp.int32).at[-1].set(first))
+        return True
+
+    def _emit_token(self, slot: _Slot, token: int) -> None:
+        req = slot.req
+        if token == EOS_ID:
+            slot.buffer.flush_all()
+            self._finish(slot)
+            return
+        req.tokens_out.append(token)
+        slot.buffer.add(token)
+        found, before, after = slot.buffer.scan_stop_words(slot.stop_bytes)
+        if found:
+            if before:
+                req.text += before.decode("utf-8", "replace")
+                if req.streaming_fn:
+                    req.streaming_fn(before.decode("utf-8", "replace"))
+            self._finish(slot)
+            return
+        if slot.generated >= req.max_tokens or slot.n_past >= self.n_ctx - 1:
+            slot.buffer.flush_all()
+            self._finish(slot)
+
+    def _finish(self, slot: _Slot) -> None:
+        idx = self.slots.index(slot)
+        slot.req.done = True
+        slot.req = None
+        self.d_active = self.d_active.at[idx].set(False)
+
+    # -- main loop -----------------------------------------------------------
+
+    def _fill_idle_slots(self) -> None:
+        for i, slot in enumerate(self.slots):
+            if slot.req is None and not self.pending.empty():
+                try:
+                    req = self.pending.get_nowait()
+                except queue.Empty:
+                    break
+                self._admit(i, req)
+
+    def step(self) -> int:
+        """One engine iteration: admit pending requests, run one batched
+        decode step, drain sampled tokens. Returns number of active slots."""
+        self._fill_idle_slots()
+        if not any(s.req is not None for s in self.slots):
+            return 0
+
+        (self.d_tokens, self.d_npast, self.d_lastn, self.d_step,
+         self.kv) = self._decode_fn(
+            self.params, self.d_tokens, self.d_npast, self.d_active,
+            self.d_lastn, self._base_key, self.d_step, self.kv)
+
+        toks = np.asarray(self.d_tokens)[:, 0]
+        for i, slot in enumerate(self.slots):
+            if slot.req is None:
+                continue
+            slot.n_past += 1
+            slot.generated += 1
+            self._emit_token(slot, int(toks[i]))
+        return sum(1 for s in self.slots if s.req is not None)
+
+    def run(self, requests: Sequence[Request]) -> list[Request]:
+        """Submit requests and run until all complete."""
+        for r in requests:
+            self.submit(r)
+        while not all(r.done for r in requests):
+            self.step()
+        return list(requests)

@@ -323,8 +323,12 @@ def forward(params: LlamaParams, tokens: jax.Array, n_past: jax.Array,
     if last_idx is None:
         last_idx = jnp.int32(t - 1)
 
-    positions = n_past + jnp.arange(t, dtype=jnp.int32)
-    positions = jnp.broadcast_to(positions[None, :], (b, t))
+    # n_past may be a scalar (single stream) or [B] (continuous batching:
+    # each slot decodes at its own depth; kv_update must be "scatter").
+    n_past = jnp.asarray(n_past, jnp.int32)
+    offsets = n_past.reshape(-1, 1)                       # [1,1] or [B,1]
+    positions = offsets + jnp.arange(t, dtype=jnp.int32)[None, :]
+    positions = jnp.broadcast_to(positions, (b, t))
 
     x = embed_tokens(params.tok_embeddings, tokens, act_dtype, cfg)
 

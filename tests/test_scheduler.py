@@ -1,0 +1,136 @@
+"""Continuous-batching engine tests on the tiny model."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fastllama_tpu.config import HyperParams, RuntimeConfig
+from fastllama_tpu.engine.scheduler import BatchEngine, Request
+from fastllama_tpu.engine.session import FastLlama
+from fastllama_tpu.models.runtime import LlamaModel
+
+from test_session import tiny_model, tiny_vocab  # fixtures
+
+
+RCFG = RuntimeConfig(kv_dtype="float32", weight_dtype="float32",
+                     use_pallas=False, prefill_buckets=(8, 16, 32, 64))
+
+
+def make_engine(tiny_model, n_slots=4, **kw):
+    return BatchEngine(tiny_model.hp, tiny_model.params, tiny_model.vocab,
+                       n_slots=n_slots, n_ctx=64, rcfg=RCFG, **kw)
+
+
+def test_single_request(tiny_model):
+    eng = make_engine(tiny_model, temp=0.0)
+    req = Request(prompt="w1 w2", max_tokens=6)
+    eng.run([req])
+    assert req.done
+    assert len(req.tokens_out) >= 1
+
+
+def test_concurrent_requests_complete(tiny_model):
+    eng = make_engine(tiny_model, n_slots=4, temp=0.8)
+    reqs = [Request(prompt=f"w{i} w{i+1}", max_tokens=5) for i in range(6)]
+    eng.run(reqs)   # 6 requests through 4 slots -> queueing exercised
+    assert all(r.done for r in reqs)
+    assert all(len(r.tokens_out) >= 1 for r in reqs)
+
+
+def test_vector_npast_scatter_matches_individual_rows(tiny_model):
+    """The batched decode math: forward with per-row n_past + scatter KV must
+    equal running each row through its own single-stream forward."""
+    import jax
+    from fastllama_tpu.models.llama import ForwardConfig, forward, init_kv_cache
+    hp = tiny_model.hp
+    cfg_s = ForwardConfig(n_head=hp.n_head, n_rot=hp.n_rot, w_dtype="float32",
+                          act_dtype="float32", use_pallas=False,
+                          kv_update="scatter")
+    b, s_len = 3, 16
+    prompts = [[1, 5, 9], [2, 7], [4]]
+
+    # individual: prefill each prompt separately then one decode step
+    refs = []
+    for p in prompts:
+        kv = init_kv_cache(hp, 1, s_len, dtype=jnp.float32)
+        _, kv, _ = forward(tiny_model.params, jnp.asarray([p], jnp.int32),
+                           jnp.int32(0), kv, cfg_s, jnp.int32(len(p) - 1))
+        lg, kv, _ = forward(tiny_model.params, jnp.asarray([[11]], jnp.int32),
+                            jnp.int32(len(p)), kv, cfg_s)
+        refs.append(np.asarray(lg)[0, -1])
+
+    # batched: pad prompts into one [B, T] prefill with per-row n_past=0,
+    # then one [B, 1] decode at per-row depths
+    t = 3
+    toks = np.zeros((b, t), np.int32)
+    for i, p in enumerate(prompts):
+        toks[i, :len(p)] = p
+    # per-row prefill must write each row's K/V only up to its own length:
+    # run rows at staggered offsets is not needed — padded positions within
+    # range get overwritten by the decode step only at the right row depth,
+    # but garbage KV at [len(p), t) would corrupt attention. So prefill rows
+    # individually here too, into one shared batched cache.
+    kv = init_kv_cache(hp, b, s_len, dtype=jnp.float32)
+    n_ctx_oob = s_len + 8
+    for i, p in enumerate(prompts):
+        row_past = np.full((b,), n_ctx_oob, np.int32)
+        row_past[i] = 0
+        row_toks = np.zeros((b, t), np.int32)
+        row_toks[i, :len(p)] = p
+        _, kv, _ = forward(tiny_model.params, jnp.asarray(row_toks),
+                           jnp.asarray(row_past), kv, cfg_s,
+                           jnp.int32(len(p) - 1))
+    npast = jnp.asarray([len(p) for p in prompts], jnp.int32)
+    lg, kv, _ = forward(tiny_model.params,
+                        jnp.asarray([[11]] * b, jnp.int32), npast, kv, cfg_s)
+    for i in range(b):
+        np.testing.assert_allclose(np.asarray(lg)[i, -1], refs[i],
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_batched_greedy_tracks_single_stream_prefix(tiny_model):
+    """Greedy decode through the batch engine should follow the single-stream
+    session (exact equality can flip on argmax near-ties from different
+    matmul tilings; require a matching prefix)."""
+    prompt = "w3 w4 w5"
+
+    tiny_model.reset()
+    s = FastLlama(tiny_model, n_keep=24, seed=0)
+    assert s.ingest(" " + prompt)
+    chunks = []
+    s.generate(chunks.append, num_tokens=5, temp=0.0)
+    single_text = "".join(chunks)
+
+    eng = make_engine(tiny_model, temp=0.0)
+    req = Request(prompt=prompt, max_tokens=5)
+    eng.run([req])
+    n = min(3, len(req.text), len(single_text))
+    assert req.text[:n] == single_text[:n]
+
+
+def test_batched_isolation(tiny_model):
+    """A slot's output must not depend on what other slots are doing:
+    greedy decode alone vs. alongside three other requests."""
+    eng1 = make_engine(tiny_model, temp=0.0)
+    alone = Request(prompt="w7 w8", max_tokens=5)
+    eng1.run([alone])
+
+    eng2 = make_engine(tiny_model, temp=0.0)
+    together = Request(prompt="w7 w8", max_tokens=5)
+    others = [Request(prompt=f"w{i}", max_tokens=5) for i in (1, 2, 3)]
+    eng2.run([together] + others)
+    assert together.text == alone.text
+
+
+def test_max_tokens_respected(tiny_model):
+    eng = make_engine(tiny_model, temp=0.9)
+    req = Request(prompt="w1", max_tokens=3)
+    eng.run([req])
+    assert req.done
+    assert len(req.tokens_out) <= 3
+
+
+def test_prompt_too_long_rejected(tiny_model):
+    eng = make_engine(tiny_model, temp=0.5)
+    req = Request(prompt=" ".join(f"w{i % 9}" for i in range(80)), max_tokens=3)
+    eng.run([req])
+    assert req.done and req.text == ""
