@@ -76,7 +76,12 @@ def _is_quantizable(name: str, shape) -> bool:
 
 
 def _quantize_rows_parallel(dense: np.ndarray, workers: int = 0):
-    """Chunked parallel q4_0 quantization over rows."""
+    """Parallel bit-exact q4_0 quantization (native threaded kernel when
+    built, else chunked numpy over a thread pool)."""
+    from ..quant import native
+    if native.available() and dense.ndim == 2:
+        return native.quantize_q4_0(dense)
+
     n = dense.shape[0]
     workers = workers or min(8, os.cpu_count() or 1)
     chunk = max(1, n // (workers * 4))

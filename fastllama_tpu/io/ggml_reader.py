@@ -111,6 +111,11 @@ class GgmlFile:
     def q4_0(self, name: str) -> tuple[np.ndarray, np.ndarray]:
         return self.tensors[name].read_q4_0(self.mm)
 
+    def raw(self, name: str) -> np.ndarray:
+        """Raw wire bytes of a tensor payload (memmap view)."""
+        t = self.tensors[name]
+        return self.mm[t.offset:t.offset + t.size]
+
 
 def read_ggml_file(path: str | Path, file_idx: int = 0) -> GgmlFile:
     path = str(path)
@@ -244,6 +249,15 @@ class GgmlCheckpoint:
 
     def tensor_type(self, name: str) -> int:
         return self.files[0].tensors[name].ggml_type
+
+    def raw_single(self, name: str):
+        """(wire bytes, (rows, cols)) when the tensor lives whole in one file
+        (the native repack fast path); None for multi-file shards."""
+        holders = [fl for fl in self.files if name in fl.tensors]
+        if len(holders) != 1:
+            return None
+        fl = holders[0]
+        return fl.raw(name), fl.tensors[name].shape
 
 
 def read_ggml_checkpoint(path: str | Path) -> GgmlCheckpoint:

@@ -93,17 +93,22 @@ def make_layer_params(n_head: int, *, attention_norm, ffn_norm,
                       wq, wk, wv, wo, w1, w2, w3):
     """Build a fused LayerParams from per-tensor specs.
 
-    Each weight spec is ("q4", codes [N, K], scales [N, K/32]) in the ggml
-    row-major orientation, or ("dense", w [K, N]) already transposed for the
-    model. QKV must share a kind, as must w1/w3.
+    Each weight spec is one of
+      ("q4", codes [N, K], scales [N, K/32])   — ggml row-major orientation
+      ("q4p", qs [K/2, N], scales [K/32, N])   — unpadded device planes
+                                                 (the native repack path)
+      ("dense", w [K, N])                      — already model-transposed
+    QKV must share a kind, as must w1/w3.
     """
     import jax.numpy as jnp
-    from ..quant.tensor import make_matmul_weight
+    from ..quant.tensor import make_matmul_weight, matmul_weight_from_planes
     from .llama import LayerParams
 
     def single(spec):
         if spec[0] == "q4":
             return make_matmul_weight(spec[1], spec[2])
+        if spec[0] == "q4p":
+            return matmul_weight_from_planes(spec[1], spec[2])
         return jnp.asarray(spec[1])
 
     def fuse(specs, order):
@@ -111,13 +116,21 @@ def make_layer_params(n_head: int, *, attention_norm, ffn_norm,
         if kinds == {"q4"}:
             return fuse_packed([packed_planes(s[1], s[2]) for s in specs],
                                order)
+        if kinds == {"q4p"}:
+            return fuse_packed([(s[1], s[2]) for s in specs], order)
         if kinds == {"dense"}:
             return fuse_dense([np.asarray(s[1]) for s in specs], order)
         raise ValueError(f"cannot fuse mixed weight kinds {kinds}")
 
-    hd_total = (wq[1].shape[0] if wq[0] == "q4" else wq[1].shape[1])
-    hd = hd_total // n_head
-    n_ff = (w1[1].shape[0] if w1[0] == "q4" else w1[1].shape[1])
+    def out_dim(spec):
+        if spec[0] == "q4":
+            return spec[1].shape[0]
+        if spec[0] == "q4p":
+            return spec[1].shape[1]
+        return spec[1].shape[1]
+
+    hd = out_dim(wq) // n_head
+    n_ff = out_dim(w1)
 
     return LayerParams(
         attention_norm=jnp.asarray(attention_norm),

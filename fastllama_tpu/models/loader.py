@@ -32,8 +32,16 @@ from .runtime import LlamaModel
 
 
 def _ggml_spec(ckpt, name: str):
-    """('q4', codes, scales) or ('dense', [K,N]) spec for make_layer_params."""
+    """Weight spec for make_layer_params: the native threaded repack
+    ('q4p' device planes) when available, else numpy ('q4'), else dense."""
     if ckpt.tensor_type(name) == GGML_TYPE_Q4_0:
+        from ..quant import native
+        single = ckpt.raw_single(name) if native.available() else None
+        if single is not None:
+            wire, (n, k) = single
+            planes = native.repack_q4_wire(wire, n, k, n_pad=n, k_pad=k)
+            if planes is not None:
+                return ("q4p", planes[0], planes[1])
         codes, scales = ckpt.q4_0(name)
         return ("q4", codes, scales)
     dense = ckpt.dense(name)
@@ -50,9 +58,12 @@ def _ggml_embedding(ckpt):
 
 
 def _ggml_matmul(ckpt, name: str):
+    from ..quant.tensor import matmul_weight_from_planes
     spec = _ggml_spec(ckpt, name)
     if spec[0] == "q4":
         return make_matmul_weight(spec[1], spec[2])
+    if spec[0] == "q4p":
+        return matmul_weight_from_planes(spec[1], spec[2])
     return jnp.asarray(spec[1])
 
 

@@ -1,0 +1,80 @@
+"""ctypes binding for the native host kernels, with numpy fallbacks.
+
+The shared library is optional: `make -C fastllama_tpu/native` builds it;
+when absent every entry point falls back to the (slower) numpy
+implementation, so the framework works out of the box.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+from pathlib import Path
+
+import numpy as np
+
+from .q4 import QK4_0, quantize_q4_0 as _np_quantize_q4_0
+
+_LIB = None
+_TRIED = False
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = Path(__file__).resolve().parent.parent / "native" / "libfastllama_native.so"
+    if path.exists():
+        try:
+            lib = ctypes.cdll.LoadLibrary(str(path))
+            lib.flt_repack_q4_wire.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int]
+            lib.flt_quantize_q4_0.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+            _LIB = lib
+        except OSError:
+            _LIB = None
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _nthreads() -> int:
+    return min(8, os.cpu_count() or 1)
+
+
+def repack_q4_wire(wire: np.ndarray, n: int, k: int,
+                   n_pad: int, k_pad: int):
+    """ggml q4_0 wire bytes [n rows of k] -> padded device planes
+    (qs [k_pad/2, n_pad] uint8, scales [k_pad/32, n_pad] f32), or None if the
+    native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    wire = np.ascontiguousarray(wire, dtype=np.uint8)
+    qs = np.empty((k_pad // 2, n_pad), np.uint8)
+    scales = np.empty((k_pad // QK4_0, n_pad), np.float32)
+    lib.flt_repack_q4_wire(
+        wire.ctypes.data, n, k, n_pad, k_pad,
+        qs.ctypes.data, scales.ctypes.data, _nthreads())
+    return qs, scales
+
+
+def quantize_q4_0(x: np.ndarray):
+    """Threaded bit-exact q4_0 quantization; numpy fallback when the native
+    library is missing. Same output contract as quant.q4.quantize_q4_0."""
+    lib = _load()
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    if lib is None or x.ndim != 2:
+        return _np_quantize_q4_0(x)
+    rows, k = x.shape
+    codes = np.empty((rows, k), np.uint8)
+    scales = np.empty((rows, k // QK4_0), np.float32)
+    lib.flt_quantize_q4_0(x.ctypes.data, rows, k,
+                          codes.ctypes.data, scales.ctypes.data, _nthreads())
+    return codes, scales
