@@ -92,6 +92,25 @@ class CheckpointWriter:
             "scales": self._write_payload(scales_t),
         }
 
+    def add_q41_matmul(self, name: str, codes: np.ndarray, scales: np.ndarray,
+                       mins: np.ndarray):
+        """Affine (q4_1/GPTQ) weight: codes uint8 [N, K], scales/mins
+        [N, K/32]. Stored transposed + split-K packed like q4_matmul, plus a
+        mins plane."""
+        n, k = codes.shape
+        codes_t = np.ascontiguousarray(codes.T)
+        blocks = codes_t.reshape(k // QK4_0, QK4_0, n)
+        packed = (blocks[:, :QK4_0 // 2, :] | (blocks[:, QK4_0 // 2:, :] << 4))
+        packed = packed.reshape(k // 2, n).astype(np.uint8)
+        self.tensors[name] = {
+            "kind": "q41_matmul", "shape": [k, n],
+            "qs": self._write_payload(packed),
+            "scales": self._write_payload(
+                np.ascontiguousarray(scales.T.astype(np.float32))),
+            "mins": self._write_payload(
+                np.ascontiguousarray(mins.T.astype(np.float32))),
+        }
+
     def add_q4_embedding(self, name: str, codes: np.ndarray, scales: np.ndarray):
         packed = split_pack_lastdim(codes)
         self.tensors[name] = {
@@ -148,14 +167,18 @@ class Checkpoint:
         off, size = rec
         return self.mm[off:off + size].view(dtype).reshape(shape)
 
-    def raw_q4_planes(self, name: str) -> tuple[np.ndarray, np.ndarray]:
-        """Unpadded device-layout planes for a q4 matmul tensor."""
+    def raw_q4_planes(self, name: str):
+        """Unpadded device-layout planes: (qs, scales) for q4_matmul or
+        (qs, scales, mins) for q41_matmul."""
         meta = self.tensors[name]
-        if meta["kind"] != "q4_matmul":
-            raise ValueError(f"{name} is {meta['kind']}, not q4_matmul")
+        if meta["kind"] not in ("q4_matmul", "q41_matmul"):
+            raise ValueError(f"{name} is {meta['kind']}, not a q4 matmul")
         k, n = meta["shape"]
         qs = self._payload(meta["qs"], np.uint8, (k // 2, n))
         sc = self._payload(meta["scales"], np.float32, (k // QK4_0, n))
+        if meta["kind"] == "q41_matmul":
+            mn = self._payload(meta["mins"], np.float32, (k // QK4_0, n))
+            return qs, sc, mn
         return qs, sc
 
     def raw_dense(self, name: str) -> np.ndarray:
@@ -223,16 +246,20 @@ def load_params(ckpt: Checkpoint, logger: Logger = NULL_LOGGER,
 
     hp = ckpt.hp
 
-    def is_q4(nm):
-        return ckpt.tensors[nm]["kind"] == "q4_matmul"
+    def kind(nm):
+        return ckpt.tensors[nm]["kind"]
 
     def single_matmul(nm):
-        if is_q4(nm):
+        if kind(nm) == "q4_matmul":
             return matmul_weight_from_planes(*ckpt.raw_q4_planes(nm))
+        if kind(nm) == "q41_matmul":
+            qs, sc, mn = ckpt.raw_q4_planes(nm)
+            return fuse_packed([(qs, sc, mn)], np.arange(qs.shape[1]))
         return jnp.asarray(ckpt.raw_dense(nm))       # stored [K, N]
 
     def fused(names, order):
-        if all(is_q4(nm) for nm in names):
+        kinds = {kind(nm) for nm in names}
+        if kinds <= {"q4_matmul", "q41_matmul"} and len(kinds) == 1:
             return fuse_packed([ckpt.raw_q4_planes(nm) for nm in names], order)
         return fuse_dense([np.asarray(ckpt.raw_dense(nm)) for nm in names],
                           order)

@@ -132,12 +132,19 @@ def _emit(writer: CheckpointWriter, name: str, get_dense, get_q4,
 
 def convert_ggml(src: str, dst: str, ftype: FType = FType.MOSTLY_Q4_0,
                  logger: Logger = NULL_LOGGER) -> None:
+    from .ggml_reader import GGML_TYPE_Q4_1
     ckpt = read_ggml_checkpoint(src)
     hp = ckpt.hyperparams
     writer = CheckpointWriter(dst, hp, ckpt.vocab, ftype)
     names = ckpt.tensor_names()
     for i, name in enumerate(names):
         logger.progress(ProgressTag.QUANTIZE, i, len(names))
+        if (ckpt.tensor_type(name) == GGML_TYPE_Q4_1
+                and ftype == FType.MOSTLY_Q4_1
+                and name != "tok_embeddings.weight"):
+            # q4_1 pass-through (no requantization)
+            writer.add_q41_matmul(name, *ckpt.q4_1(name))
+            continue
         src_q4 = (ckpt.tensor_type(name) == GGML_TYPE_Q4_0
                   and ftype == FType.MOSTLY_Q4_0)
         _emit(writer, name,
@@ -213,6 +220,62 @@ def _hf_vocab(hf_dir: Path) -> Vocab:
     return Vocab.from_tokens(out)
 
 
+def _gptq_to_q4_1(tensors: dict, namebase: str):
+    """GPTQ-for-LLaMa tensor group -> q4_1 (codes [N,K], d, m [N,K/32]).
+
+    Mirrors the reference's GPTQForLLaMaQuantizedTensor
+    (scripts/convert.py:364-478): nibbles little-endian within each int32,
+    zeros from qzeros via (z+1)*scale, addends = -zeros, regrouped from the
+    GPTQ groupsize (usually 128) to 32. g_idx reordering is unsupported.
+    """
+    if f"{namebase}.g_idx" in tensors:
+        g = np.asarray(tensors[f"{namebase}.g_idx"])
+        if not np.array_equal(g, np.sort(g)):
+            raise ValueError(f"{namebase}: act-order (g_idx) GPTQ models are "
+                             "not supported")
+    qweight = np.asarray(tensors[f"{namebase}.qweight"], np.int32)  # [K/8, N]
+    scales = np.asarray(tensors[f"{namebase}.scales"], np.float32)
+
+    def unpack_nibbles_le(packed_i32):
+        """int32 array -> 8 nibbles each, little-endian nibble order."""
+        b = packed_i32.view(np.uint8)           # 4 bytes per int32, LE
+        out = np.empty(packed_i32.shape[:-1] + (packed_i32.shape[-1] * 8,),
+                       np.uint8)
+        b = b.reshape(packed_i32.shape[0], packed_i32.shape[1] * 4)
+        out[:, 0::2] = b & 0x0F
+        out[:, 1::2] = b >> 4
+        return out
+
+    # qweight is [K/8, N]: transpose first -> [N, K/8] then unpack along K
+    codes = unpack_nibbles_le(np.ascontiguousarray(qweight.T))  # [N, K]
+
+    if f"{namebase}.zeros" in tensors:
+        zeros = np.asarray(tensors[f"{namebase}.zeros"], np.float32)
+    else:
+        # qzeros is [groups, N/8] packed along N; unpack along its last axis
+        qzeros = np.asarray(tensors[f"{namebase}.qzeros"], np.int32)
+        zq = unpack_nibbles_le(np.ascontiguousarray(qzeros))    # [groups, N]
+        zeros = (zq.astype(np.float32) + 1.0) * scales
+    # scales/zeros: new GPTQ = [groups, N]; old = [N, 1]
+    if scales.ndim == 2 and scales.shape[1] != 1 and scales.shape[0] != codes.shape[0]:
+        scales = scales.T                                     # -> [N, groups]
+        zeros = zeros.T
+    addends = -zeros
+
+    n, k = codes.shape
+    groups = scales.shape[1]
+    if k % groups:
+        raise ValueError(f"{namebase}: k={k} not divisible by groups={groups}")
+    rep = (k // groups) // 32
+    d = np.repeat(scales, rep, axis=1)
+    m = np.repeat(addends, rep, axis=1)
+    return codes, d.astype(np.float32), m.astype(np.float32)
+
+
+def _is_gptq(tensors: dict) -> bool:
+    return any(k.endswith(".qweight") for k in tensors)
+
+
 def convert_hf(hf_dir: str, dst: str, ftype: FType = FType.MOSTLY_Q4_0,
                n_ctx: int = 2048, logger: Logger = NULL_LOGGER) -> None:
     hf_dir = Path(hf_dir)
@@ -222,6 +285,9 @@ def convert_hf(hf_dir: str, dst: str, ftype: FType = FType.MOSTLY_Q4_0,
 
     n_embd = cfg["hidden_size"]
     n_head = cfg["num_attention_heads"]
+    gptq = _is_gptq(tensors)
+    if gptq:
+        ftype = FType.MOSTLY_Q4_1
     hp = HyperParams(
         n_vocab=cfg["vocab_size"], n_ctx=n_ctx, n_embd=n_embd, n_mult=256,
         n_head=n_head, n_layer=cfg["num_hidden_layers"],
@@ -229,18 +295,55 @@ def convert_hf(hf_dir: str, dst: str, ftype: FType = FType.MOSTLY_Q4_0,
     vocab = _hf_vocab(hf_dir)
     writer = CheckpointWriter(dst, hp, vocab, ftype)
 
-    items = [(hf, hf_to_ggml_name(hf)) for hf in tensors]
-    items = [(hf, g) for hf, g in items if g is not None]
-    for i, (hf_name, ggml_name) in enumerate(items):
-        logger.progress(ProgressTag.QUANTIZE, i, len(items))
-        w = np.asarray(tensors[hf_name])
-        if ggml_name.endswith("attention.wq.weight") or \
-                ggml_name.endswith("attention.wk.weight"):
-            w = permute_qk(w, n_head)
-        _emit(writer, ggml_name, get_dense=lambda w=w: w.astype(np.float32),
-              get_q4=None, ftype=ftype, logger=logger)
+    if gptq:
+        logger.log("convert", "GPTQ checkpoint detected -> q4_1 repack "
+                   "(no requantization)\n")
+        bases = sorted({k.rsplit(".qweight", 1)[0]
+                        for k in tensors if k.endswith(".qweight")})
+        done = 0
+        total = len(bases) + sum(1 for k in tensors
+                                 if hf_to_ggml_name(k) and k.endswith(".weight"))
+        for base in bases:
+            ggml_name = hf_to_ggml_name(base + ".weight")
+            if ggml_name is None:
+                continue
+            codes, d, m = _gptq_to_q4_1(tensors, base)
+            if ggml_name.endswith("attention.wq.weight") or \
+                    ggml_name.endswith("attention.wk.weight"):
+                codes = permute_qk(codes, n_head)
+                d = permute_qk(d, n_head)
+                m = permute_qk(m, n_head)
+            writer.add_q41_matmul(ggml_name, codes, d, m)
+            done += 1
+            logger.progress(ProgressTag.QUANTIZE, done, total)
+        # remaining unquantized tensors (norms, embeddings, lm head)
+        for hf_name, w in tensors.items():
+            if not hf_name.endswith(".weight"):
+                continue
+            ggml_name = hf_to_ggml_name(hf_name)
+            if ggml_name is None or ggml_name in writer.tensors:
+                continue
+            w = np.asarray(w, np.float32)
+            if ggml_name.endswith("attention.wq.weight") or \
+                    ggml_name.endswith("attention.wk.weight"):
+                w = permute_qk(w, n_head)
+            _emit(writer, ggml_name, get_dense=lambda w=w: w, get_q4=None,
+                  ftype=FType.MOSTLY_F16, logger=logger)
+            done += 1
+            logger.progress(ProgressTag.QUANTIZE, done, total)
+    else:
+        items = [(hf, hf_to_ggml_name(hf)) for hf in tensors]
+        items = [(hf, g) for hf, g in items if g is not None]
+        for i, (hf_name, ggml_name) in enumerate(items):
+            logger.progress(ProgressTag.QUANTIZE, i, len(items))
+            w = np.asarray(tensors[hf_name])
+            if ggml_name.endswith("attention.wq.weight") or \
+                    ggml_name.endswith("attention.wk.weight"):
+                w = permute_qk(w, n_head)
+            _emit(writer, ggml_name, get_dense=lambda w=w: w.astype(np.float32),
+                  get_q4=None, ftype=ftype, logger=logger)
+        logger.progress(ProgressTag.QUANTIZE, len(items), len(items))
     writer.finish()
-    logger.progress(ProgressTag.QUANTIZE, len(items), len(items))
     logger.log("convert", f"wrote {dst}\n")
 
 

@@ -87,6 +87,13 @@ class TensorRecord:
         raw = np.asarray(mm[self.offset:self.offset + self.size])
         return q4.q4_0_from_wire(raw, self.shape)
 
+    def read_q4_1(self, mm: np.memmap):
+        """Read q4_1 payload as (codes, scales d, mins m) — w = q*d + m."""
+        if self.ggml_type != GGML_TYPE_Q4_1:
+            raise ValueError(f"{self.name} is {TYPE_NAMES[self.ggml_type]}, not q4_1")
+        raw = np.asarray(mm[self.offset:self.offset + self.size])
+        return q4.q4_1_from_wire(raw, self.shape)
+
 
 @dataclasses.dataclass
 class GgmlFile:
@@ -246,6 +253,17 @@ class GgmlCheckpoint:
         codes = np.concatenate([p[0] for p in parts], axis=ax)
         scales = np.concatenate([p[1] for p in parts], axis=ax)
         return codes, scales
+
+    def q4_1(self, name: str):
+        parts = [fl.tensors[name].read_q4_1(fl.mm)
+                 for fl in self.files if name in fl.tensors]
+        if not parts:
+            raise KeyError(name)
+        if len(parts) == 1:
+            return parts[0]
+        ax = shard_concat_axis(name)
+        return tuple(np.concatenate([p[i] for p in parts], axis=ax)
+                     for i in range(3))
 
     def tensor_type(self, name: str) -> int:
         return self.files[0].tensors[name].ggml_type

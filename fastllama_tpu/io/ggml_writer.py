@@ -41,6 +41,11 @@ def write_ggjt(path: str | Path, hp: HyperParams, vocab: Vocab,
                 shape = codes.shape
                 ttype = GGML_TYPE_Q4_0
                 payload = q4.q4_0_to_wire(codes, scales)
+            elif kind == "q4_1":
+                _, codes, scales, mins = spec
+                shape = codes.shape
+                ttype = 3  # GGML_TYPE_Q4_1
+                payload = q4.q4_1_to_wire(codes, scales, mins)
             elif kind == "f16":
                 _, arr = spec
                 shape = arr.shape

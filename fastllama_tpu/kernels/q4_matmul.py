@@ -110,6 +110,63 @@ def _q4mm_kernel(x_lo_ref, x_hi_ref, qs_ref, sc_ref, out_ref, *, w_dtype):
     out_ref[:] += acc
 
 
+def _q41mm_kernel(x_lo_ref, x_hi_ref, qs_ref, sc_ref, mn_ref, out_ref, *,
+                  w_dtype):
+    """Affine (q4_1/GPTQ) variant: w = q*d + m per block."""
+    k_idx = pl.program_id(1)
+
+    @pl.when(k_idx == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    qs = qs_ref[:].astype(jnp.int32)
+    sc = _repeat_scales(sc_ref[:].astype(jnp.float32))
+    mn = _repeat_scales(mn_ref[:].astype(jnp.float32))
+    w_lo = ((qs & 0x0F).astype(jnp.float32) * sc + mn).astype(w_dtype)
+    w_hi = ((qs >> 4).astype(jnp.float32) * sc + mn).astype(w_dtype)
+
+    prec = _dot_precision(w_dtype)
+    acc = jnp.dot(x_lo_ref[:].astype(w_dtype), w_lo,
+                  preferred_element_type=jnp.float32, precision=prec)
+    acc += jnp.dot(x_hi_ref[:].astype(w_dtype), w_hi,
+                   preferred_element_type=jnp.float32, precision=prec)
+    out_ref[:] += acc
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "block_k", "interpret", "w_dtype"))
+def q41_matmul_pallas(x: jax.Array, qs: jax.Array, scales: jax.Array,
+                      mins: jax.Array, *, block_n: int = 0, block_k: int = 0,
+                      interpret: bool = False,
+                      w_dtype=jnp.bfloat16) -> jax.Array:
+    """Affine-quantized y = x @ (Q*d + m); f32 output."""
+    m, k = x.shape
+    kh, n = qs.shape
+    assert kh * 2 == k, (x.shape, qs.shape)
+    bn = block_n or _pick_tile(n)
+    bk = block_k or _pick_tile_k(k)
+    grid = (n // bn, k // bk)
+    x_lo, x_hi = split_activation(x)
+    kernel = functools.partial(_q41mm_kernel, w_dtype=w_dtype)
+    blk_spec = pl.BlockSpec((bk // QBLOCK, bn), lambda i, kk: (kk, i),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m, bk // 2), lambda i, kk: (0, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, bk // 2), lambda i, kk: (0, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 2, bn), lambda i, kk: (kk, i), memory_space=pltpu.VMEM),
+            blk_spec,
+            blk_spec,
+        ],
+        out_specs=pl.BlockSpec((m, bn), lambda i, kk: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(x_lo, x_hi, qs, scales, mins)
+
+
 @functools.partial(jax.jit, static_argnames=("block_n", "block_k", "interpret", "w_dtype"))
 def q4_matmul_pallas(x: jax.Array, qs: jax.Array, scales: jax.Array,
                      *, block_n: int = 0, block_k: int = 0,
@@ -222,8 +279,12 @@ def q4_matmul(x: jax.Array, w: QuantMatmulWeight, *,
         m_pad = max(8, -(-m // 8) * 8)
         if m_pad != m:
             x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
-        y = q4_matmul_pallas(x2, w.qs, w.scales, interpret=interpret,
-                             w_dtype=w_dtype)[:m]
+        if w.mins is None:
+            y = q4_matmul_pallas(x2, w.qs, w.scales, interpret=interpret,
+                                 w_dtype=w_dtype)[:m]
+        else:
+            y = q41_matmul_pallas(x2, w.qs, w.scales, w.mins,
+                                  interpret=interpret, w_dtype=w_dtype)[:m]
     else:
         y = q4_matmul_xla(x2, w, w_dtype=w_dtype)
     if y.shape[-1] != n_eff:

@@ -46,31 +46,53 @@ def w13_col_order(n_ff: int) -> np.ndarray:
 
 
 def _pad_packed(qs: np.ndarray, scales: np.ndarray, k_logical: int,
-                pad_k: int = 256, pad_n: int = 256):
-    """Pad packed planes to tile-friendly dims with inert values."""
+                pad_k: int = 256, pad_n: int = 256, pad_code: int = 0x88):
+    """Pad packed planes to tile-friendly dims with inert values.
+    pad_code 0x88 (code 8 = value 0) for symmetric q4_0; 0x00 for affine
+    weights whose padding is made inert by zero scales *and* zero mins."""
     kh, n = qs.shape
     k_pad = pad_multiple(k_logical, pad_k)
     n_pad = pad_multiple(n, pad_n)
     if (k_pad // 2, n_pad) == (kh, n):
         return qs, scales
-    out_qs = np.full((k_pad // 2, n_pad), 0x88, np.uint8)   # code 8 = value 0
+    out_qs = np.full((k_pad // 2, n_pad), pad_code, np.uint8)
     out_qs[:kh, :n] = qs
     out_sc = np.zeros((k_pad // QBLOCK, n_pad), scales.dtype)
     out_sc[: scales.shape[0], :n] = scales
     return out_qs, out_sc
 
 
-def fuse_packed(parts: list[tuple[np.ndarray, np.ndarray]],
+def _pad_packed_plane(plane: np.ndarray, k_logical: int,
+                      pad_k: int = 256, pad_n: int = 256):
+    """Zero-pad a [K/32, N] plane to the padded dims."""
+    nb, n = plane.shape
+    k_pad = pad_multiple(k_logical, pad_k)
+    n_pad = pad_multiple(n, pad_n)
+    if (k_pad // QBLOCK, n_pad) == (nb, n):
+        return plane, None
+    out = np.zeros((k_pad // QBLOCK, n_pad), plane.dtype)
+    out[:nb, :n] = plane
+    return out, None
+
+
+def fuse_packed(parts: list[tuple],
                 order: np.ndarray) -> QuantMatmulWeight:
-    """Fuse device-layout planes [(qs [K/2,N_i], scales [K/32,N_i]), ...]
-    along N with a column permutation, then pad."""
+    """Fuse device-layout planes along N with a column permutation, then pad.
+    Parts are (qs [K/2,N_i], scales [K/32,N_i]) or, for affine (q4_1/GPTQ)
+    weights, (qs, scales, mins)."""
+    affine = len(parts[0]) == 3
     qs = np.concatenate([p[0] for p in parts], axis=1)[:, order]
     sc = np.concatenate([p[1] for p in parts], axis=1)[:, order]
     n_logical = qs.shape[1]
     k_logical = qs.shape[0] * 2
+    mn = None
+    if affine:
+        mn = np.concatenate([p[2] for p in parts], axis=1)[:, order]
+        mn, _ = _pad_packed_plane(mn, k_logical)
     qs, sc = _pad_packed(np.ascontiguousarray(qs), np.ascontiguousarray(sc),
-                         k_logical)
+                         k_logical, pad_code=0x00 if affine else 0x88)
     return QuantMatmulWeight(qs=jnp.asarray(qs), scales=jnp.asarray(sc),
+                             mins=None if mn is None else jnp.asarray(mn),
                              n_logical=n_logical)
 
 
@@ -95,18 +117,23 @@ def make_layer_params(n_head: int, *, attention_norm, ffn_norm,
 
     Each weight spec is one of
       ("q4", codes [N, K], scales [N, K/32])   — ggml row-major orientation
+      ("q41", codes, scales, mins)             — affine (q4_1/GPTQ), row-major
       ("q4p", qs [K/2, N], scales [K/32, N])   — unpadded device planes
                                                  (the native repack path)
       ("dense", w [K, N])                      — already model-transposed
     QKV must share a kind, as must w1/w3.
     """
     import jax.numpy as jnp
-    from ..quant.tensor import make_matmul_weight, matmul_weight_from_planes
+    from ..quant.tensor import (
+        make_matmul_weight, make_matmul_weight_q41, matmul_weight_from_planes,
+    )
     from .llama import LayerParams
 
     def single(spec):
         if spec[0] == "q4":
             return make_matmul_weight(spec[1], spec[2])
+        if spec[0] == "q41":
+            return make_matmul_weight_q41(spec[1], spec[2], spec[3])
         if spec[0] == "q4p":
             return matmul_weight_from_planes(spec[1], spec[2])
         return jnp.asarray(spec[1])
@@ -116,6 +143,11 @@ def make_layer_params(n_head: int, *, attention_norm, ffn_norm,
         if kinds == {"q4"}:
             return fuse_packed([packed_planes(s[1], s[2]) for s in specs],
                                order)
+        if kinds == {"q41"}:
+            return fuse_packed(
+                [packed_planes(s[1], s[2]) + (
+                    np.ascontiguousarray(np.asarray(s[3], np.float32).T),)
+                 for s in specs], order)
         if kinds == {"q4p"}:
             return fuse_packed([(s[1], s[2]) for s in specs], order)
         if kinds == {"dense"}:
@@ -123,10 +155,8 @@ def make_layer_params(n_head: int, *, attention_norm, ffn_norm,
         raise ValueError(f"cannot fuse mixed weight kinds {kinds}")
 
     def out_dim(spec):
-        if spec[0] == "q4":
+        if spec[0] in ("q4", "q41"):
             return spec[1].shape[0]
-        if spec[0] == "q4p":
-            return spec[1].shape[1]
         return spec[1].shape[1]
 
     hd = out_dim(wq) // n_head

@@ -33,8 +33,9 @@ from .runtime import LlamaModel
 
 def _ggml_spec(ckpt, name: str):
     """Weight spec for make_layer_params: the native threaded repack
-    ('q4p' device planes) when available, else numpy ('q4'), else dense."""
-    if ckpt.tensor_type(name) == GGML_TYPE_Q4_0:
+    ('q4p' device planes) when available, else numpy ('q4'/'q41'/dense)."""
+    ttype = ckpt.tensor_type(name)
+    if ttype == GGML_TYPE_Q4_0:
         from ..quant import native
         single = ckpt.raw_single(name) if native.available() else None
         if single is not None:
@@ -44,6 +45,9 @@ def _ggml_spec(ckpt, name: str):
                 return ("q4p", planes[0], planes[1])
         codes, scales = ckpt.q4_0(name)
         return ("q4", codes, scales)
+    if ttype == GGML_TYPE_Q4_1:
+        codes, d, m = ckpt.q4_1(name)
+        return ("q41", codes, d, m)
     dense = ckpt.dense(name)
     if dense.ndim == 2:
         dense = np.ascontiguousarray(dense.T)      # model wants [K, N]
@@ -54,14 +58,17 @@ def _ggml_embedding(ckpt):
     name = "tok_embeddings.weight"
     if ckpt.tensor_type(name) == GGML_TYPE_Q4_0:
         return make_embedding(*ckpt.q4_0(name))
+    # q4_1/f16/f32 embeddings: materialize dense (gather tables are small)
     return jnp.asarray(ckpt.dense(name))
 
 
 def _ggml_matmul(ckpt, name: str):
-    from ..quant.tensor import matmul_weight_from_planes
+    from ..quant.tensor import make_matmul_weight_q41, matmul_weight_from_planes
     spec = _ggml_spec(ckpt, name)
     if spec[0] == "q4":
         return make_matmul_weight(spec[1], spec[2])
+    if spec[0] == "q41":
+        return make_matmul_weight_q41(spec[1], spec[2], spec[3])
     if spec[0] == "q4p":
         return matmul_weight_from_planes(spec[1], spec[2])
     return jnp.asarray(spec[1])

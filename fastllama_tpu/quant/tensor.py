@@ -48,6 +48,9 @@ class QuantMatmulWeight:
     """
     qs: jax.Array
     scales: jax.Array
+    mins: jax.Array | None = None    # affine (q4_1/GPTQ) offset plane m:
+                                     # w = q*d + m; None => symmetric q4_0
+                                     # w = (q-8)*d
     n_logical: int = 0
 
     def __post_init__(self):
@@ -73,7 +76,7 @@ class QuantMatmulWeight:
         return (self.k, self.n_logical)
 
     def tree_flatten(self):
-        return (self.qs, self.scales), (self.n_logical,)
+        return (self.qs, self.scales, self.mins), (self.n_logical,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -219,17 +222,47 @@ def matmul_weight_to_codes(w: QuantMatmulWeight,
 
 def dequant_matmul_weight(w: QuantMatmulWeight, dtype=jnp.bfloat16) -> jax.Array:
     """Materialize the dense [K, N] weight. Used by the XLA fallback matmul
-    (XLA fuses this chain into the dot when profitable) and by tests."""
+    (XLA fuses this chain into the dot when profitable) and by tests.
+
+    q4_0: w = (q - 8) * d;   q4_1/GPTQ (mins present): w = q * d + m."""
     qs = w.qs
     kh, n = qs.shape
     nb = kh // (QBLOCK // 2)
     blocks = qs.reshape(nb, QBLOCK // 2, n)
-    lo = (blocks & 0x0F).astype(jnp.int8) - 8
-    hi = (blocks >> 4).astype(jnp.int8) - 8
+    lo = (blocks & 0x0F).astype(jnp.int8)
+    hi = (blocks >> 4).astype(jnp.int8)
     codes = jnp.concatenate([lo, hi], axis=1)              # [nb, 32, N]
     scale = w.scales.reshape(nb, 1, n).astype(jnp.float32)
-    dense = codes.astype(jnp.float32) * scale
+    if w.mins is None:
+        dense = (codes.astype(jnp.float32) - 8.0) * scale
+    else:
+        m = w.mins.reshape(nb, 1, n).astype(jnp.float32)
+        dense = codes.astype(jnp.float32) * scale + m
     return dense.reshape(nb * QBLOCK, n).astype(dtype)
+
+
+def make_matmul_weight_q41(codes: np.ndarray, scales: np.ndarray,
+                           mins: np.ndarray,
+                           pad_k: int = 256, pad_n: int = 256
+                           ) -> QuantMatmulWeight:
+    """Affine-quantized RHS (q4_1 / GPTQ): w = q*d + m per 32-block.
+
+    codes uint8 [N, K], scales/mins f32 [N, K//32] (padding is inert:
+    codes=0, d=0, m=0)."""
+    n, k = codes.shape
+    k_pad = pad_multiple(k, pad_k)
+    n_pad = pad_multiple(n, pad_n)
+    codes_t = np.zeros((k_pad, n_pad), np.uint8)
+    codes_t[:k, :n] = np.asarray(codes, np.uint8).T
+    scales_t = np.zeros((k_pad // QBLOCK, n_pad), np.float32)
+    scales_t[: k // QBLOCK, :n] = np.asarray(scales, np.float32).T
+    mins_t = np.zeros((k_pad // QBLOCK, n_pad), np.float32)
+    mins_t[: k // QBLOCK, :n] = np.asarray(mins, np.float32).T
+    packed = pack_codes_split_k(codes_t)
+    return QuantMatmulWeight(qs=jnp.asarray(packed),
+                             scales=jnp.asarray(scales_t),
+                             mins=jnp.asarray(mins_t),
+                             n_logical=n)
 
 
 def dequant_embedding_rows(table: QuantEmbedding, ids: jax.Array,
