@@ -19,7 +19,7 @@ from typing import Callable, Optional, Sequence
 import numpy as np
 
 from .config import RuntimeConfig
-from .engine.logger import DefaultLogger, Logger, ProgressTag
+from .engine.logger import DefaultLogger, Logger
 from .engine.session import FastLlama
 from .models.loader import load_model
 

@@ -38,7 +38,7 @@ from ..config import HyperParams, RuntimeConfig
 from ..engine.logger import Logger, NULL_LOGGER
 from ..engine.sampling import sample_jax
 from ..engine.token_buffer import TokenBuffer
-from ..engine.tokenizer import BOS_ID, EOS_ID, Vocab, tokenize
+from ..engine.tokenizer import EOS_ID, Vocab, tokenize
 from ..models.llama import ForwardConfig, LlamaParams, forward, init_kv_cache
 
 

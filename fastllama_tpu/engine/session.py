@@ -30,7 +30,7 @@ from ..models.runtime import LlamaModel
 from .logger import Logger, ProgressTag
 from .sampling import SamplingParams, sample_host
 from .token_buffer import TokenBuffer, TokenBufferPartialState
-from .tokenizer import BOS_ID, EOS_ID, detokenize, tokenize
+from .tokenizer import BOS_ID, EOS_ID, tokenize
 
 STATE_MAGIC = "fastllama_tpu.session.v1"
 

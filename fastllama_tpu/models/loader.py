@@ -18,14 +18,13 @@ from pathlib import Path
 import numpy as np
 import jax.numpy as jnp
 
-from ..config import FType, HyperParams, RuntimeConfig, model_id_from_layers
+from ..config import RuntimeConfig, model_id_from_layers
 from ..engine.logger import Logger, NULL_LOGGER, ProgressTag
 from ..io.checkpoint import load_params, open_checkpoint
 from ..io.ggml_reader import (
-    GGML_TYPE_F16, GGML_TYPE_F32, GGML_TYPE_Q4_0, GGML_TYPE_Q4_1,
-    read_ggml_checkpoint,
+    GGML_TYPE_Q4_0, GGML_TYPE_Q4_1, read_ggml_checkpoint,
 )
-from ..models.llama import LayerParams, LlamaParams
+from ..models.llama import LlamaParams
 from ..quant.tensor import make_embedding, make_matmul_weight
 from .fuse import make_layer_params
 from .runtime import LlamaModel

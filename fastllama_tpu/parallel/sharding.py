@@ -25,11 +25,9 @@ specs always coincide in this layout).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
