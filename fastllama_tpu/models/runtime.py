@@ -48,6 +48,29 @@ class LlamaModel:
         self._buckets = sorted({min(b, rcfg.n_ctx)
                                 for b in rcfg.prefill_buckets} | {1, rcfg.n_ctx})
 
+        # multi-chip: shard weights/KV over a Mesh and swap in the shard_map
+        # forward (rcfg.mesh_shape, e.g. (1, 8) = tp over 8 chips)
+        self.mesh = None
+        self._sharded_fwd = {}
+        if rcfg.mesh_shape and int(np.prod(rcfg.mesh_shape)) > 1:
+            from ..parallel.sharding import (
+                make_mesh, make_sharded_forward, shard_kv, shard_params,
+            )
+            n_data, n_model = (rcfg.mesh_shape if len(rcfg.mesh_shape) == 2
+                               else (1, rcfg.mesh_shape[0]))
+            if n_data != 1:
+                raise ValueError(
+                    "the single-stream LlamaModel is batch=1 and cannot be "
+                    "data-parallel; use mesh_shape=(1, tp) here, or the "
+                    "continuous-batching BatchEngine for a data axis")
+            self.mesh = make_mesh(n_data=n_data, n_model=n_model)
+            self.params = shard_params(self.params, self.mesh)
+            self.kv = shard_kv(self.kv, self.mesh)
+            for cfg in (self._cfg_last, self._cfg_all):
+                self._sharded_fwd[cfg] = make_sharded_forward(
+                    self.mesh, self.params, cfg)
+            logger.log("Model", f"sharded over mesh dp={n_data} tp={n_model}\n")
+
     # -- eval ---------------------------------------------------------------
 
     def _bucket(self, t: int, n_past: int) -> int:
@@ -79,9 +102,14 @@ class LlamaModel:
         buf[0, :t] = np.asarray(tokens, np.int32)
 
         cfg = self._cfg_all if all_logits else self._cfg_last
-        logits, self.kv, self._embeddings = forward_jit(
-            self.params, jnp.asarray(buf), jnp.int32(n_past),
-            self.kv, cfg, jnp.int32(t - 1))
+        if self.mesh is not None:
+            logits, self.kv, self._embeddings = self._sharded_fwd[cfg](
+                self.params, jnp.asarray(buf), jnp.int32(n_past),
+                self.kv, jnp.int32(t - 1))
+        else:
+            logits, self.kv, self._embeddings = forward_jit(
+                self.params, jnp.asarray(buf), jnp.int32(n_past),
+                self.kv, cfg, jnp.int32(t - 1))
         self.n_cached = max(self.n_cached, n_past + t)
 
         out = np.asarray(logits[0])
@@ -122,6 +150,9 @@ class LlamaModel:
             kk[:, :n] = k[li]
             vv[:, :n] = state["kv_v"][li]
             new_kv.append((jnp.asarray(kk, kv_dtype), jnp.asarray(vv, kv_dtype)))
+        if self.mesh is not None:
+            from ..parallel.sharding import shard_kv
+            new_kv = shard_kv(new_kv, self.mesh)
         self.kv = new_kv
         self.n_cached = n
 
@@ -207,6 +238,7 @@ class LlamaModel:
         for holder, attr, term in staged:
             setattr(holder, attr, term)
         self._lora_path = path
+        self._reshard_after_lora_change()
         return True
 
     def detach_lora(self) -> bool:
@@ -223,7 +255,20 @@ class LlamaModel:
                 setattr(layer, attr, None)
         self.logger.progress(ProgressTag.DETACH_LORA, 1, 1)
         self._lora_path = None
+        self._reshard_after_lora_change()
         return True
+
+    def _reshard_after_lora_change(self) -> None:
+        """Attach/detach changes the params tree structure; on a mesh the
+        LoRA terms must be device_put with their specs and the shard_map
+        forwards rebuilt for the new structure."""
+        if self.mesh is None:
+            return
+        from ..parallel.sharding import make_sharded_forward, shard_params
+        self.params = shard_params(self.params, self.mesh)
+        for cfg in (self._cfg_last, self._cfg_all):
+            self._sharded_fwd[cfg] = make_sharded_forward(
+                self.mesh, self.params, cfg)
 
     @property
     def lora_path(self) -> str | None:
