@@ -1,0 +1,146 @@
+"""Paged KV cache: virtual memory for the KV cache (north-star subsystem).
+
+The slab cache (models/llama.init_kv_cache) reserves n_ctx slots per slot
+up front. The paged cache instead shares a physical page pool across all
+sequences — each sequence holds only the pages it actually fills, so many
+long-and-short sequences coexist without reserving worst-case memory:
+
+  k_pages / v_pages:  per layer, [H, total_pages, page_size, Dh]
+  page_tables:        [n_slots, pages_per_seq] physical page ids (host+device)
+  lengths:            [n_slots] tokens resident per slot
+
+Decode attention over the paged pool uses JAX's production Pallas kernel
+(jax.experimental.pallas.ops.tpu.paged_attention: per-page async DMA with
+double buffering and online softmax) on TPU, and a gather-based jnp
+reference elsewhere (and in tests).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import HyperParams
+
+
+def paged_attention_reference(q, k_pages, v_pages, lengths, page_indices):
+    """jnp reference: gather each sequence's pages and run masked attention.
+
+    q: [B, H, D]; k_pages/v_pages: [H, P, ps, D]; lengths: [B];
+    page_indices: [B, pages_per_seq]. Returns [B, H, D] f32.
+    """
+    b, h, d = q.shape
+    ps = k_pages.shape[2]
+    pages_per_seq = page_indices.shape[1]
+    s_max = pages_per_seq * ps
+
+    # gather: [B, H, pages_per_seq, ps, D] -> [B, H, S, D]
+    keys = jnp.take(k_pages, page_indices, axis=1)      # [H, B, pp, ps, D]
+    vals = jnp.take(v_pages, page_indices, axis=1)
+    keys = jnp.moveaxis(keys, 1, 0).reshape(b, h, s_max, d).astype(jnp.float32)
+    vals = jnp.moveaxis(vals, 1, 0).reshape(b, h, s_max, d).astype(jnp.float32)
+
+    scale = 1.0 / jnp.sqrt(jnp.float32(d))
+    scores = jnp.einsum("bhd,bhsd->bhs", q.astype(jnp.float32), keys,
+                        precision=jax.lax.Precision.HIGHEST) * scale
+    mask = jnp.arange(s_max)[None, None, :] < lengths[:, None, None]
+    scores = jnp.where(mask, scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhs,bhsd->bhd", probs, vals,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def paged_attention_tpu(q, k_pages, v_pages, lengths, page_indices,
+                        pages_per_compute_block: int = 4):
+    """JAX's Pallas paged-attention kernel (TPU only)."""
+    from jax.experimental.pallas.ops.tpu.paged_attention import (
+        paged_attention as pa,
+    )
+    fn = pa.paged_attention if hasattr(pa, "paged_attention") else pa
+    # the library kernel applies no softmax scale; pre-scale q
+    d = q.shape[-1]
+    q_scaled = q * (1.0 / np.sqrt(d))
+    return fn(q_scaled, k_pages, v_pages, lengths, page_indices,
+              pages_per_compute_block=pages_per_compute_block)
+
+
+def write_tokens_paged(k_pages, v_pages, k_new, v_new, page_ids, offsets):
+    """Scatter new K/V vectors into their pages.
+
+    k_new/v_new: [B, T, H, D]; page_ids/offsets: [B, T] physical page id and
+    in-page offset per written token (precomputed by the manager; entries
+    with page_id >= total_pages are dropped — inactive slots/padding).
+    """
+    h = k_pages.shape[0]
+    b, t = page_ids.shape
+    # [H, B*T] fancy-index write
+    pid = page_ids.reshape(-1)
+    off = offsets.reshape(-1)
+    kv_k = k_new.reshape(b * t, h, -1).swapaxes(0, 1).astype(k_pages.dtype)
+    kv_v = v_new.reshape(b * t, h, -1).swapaxes(0, 1).astype(v_pages.dtype)
+    k_pages = k_pages.at[:, pid, off, :].set(kv_k, mode="drop")
+    v_pages = v_pages.at[:, pid, off, :].set(kv_v, mode="drop")
+    return k_pages, v_pages
+
+
+@dataclasses.dataclass
+class PagedKVManager:
+    """Host-side page allocator + device page pools (per layer)."""
+    hp: HyperParams
+    n_slots: int
+    page_size: int
+    total_pages: int
+    pages_per_seq: int
+    dtype: object = jnp.bfloat16
+
+    def __post_init__(self):
+        h, d = self.hp.n_head, self.hp.head_dim
+        shape = (h, self.total_pages, self.page_size, d)
+        self.k_pages = [jnp.zeros(shape, self.dtype)
+                        for _ in range(self.hp.n_layer)]
+        self.v_pages = [jnp.zeros(shape, self.dtype)
+                        for _ in range(self.hp.n_layer)]
+        self._free = list(range(self.total_pages - 1, -1, -1))
+        # page table per slot; total_pages = an always-invalid sentinel id
+        # (writes drop, reads hit page 0 garbage but are length-masked)
+        self.page_tables = np.full((self.n_slots, self.pages_per_seq),
+                                   0, np.int32)
+        self._owned: list[list[int]] = [[] for _ in range(self.n_slots)]
+        self.lengths = np.zeros(self.n_slots, np.int32)
+
+    @property
+    def free_pages(self) -> int:
+        return len(self._free)
+
+    def alloc_for(self, slot: int, new_len: int) -> bool:
+        """Ensure slot has pages covering new_len tokens. Atomic: on OOM
+        nothing is allocated and False is returned."""
+        need = -(-new_len // self.page_size)
+        if need > self.pages_per_seq:
+            return False
+        have = len(self._owned[slot])
+        if need - have > len(self._free):
+            return False
+        while have < need:
+            pid = self._free.pop()
+            self.page_tables[slot, have] = pid
+            self._owned[slot].append(pid)
+            have += 1
+        return True
+
+    def free_slot(self, slot: int) -> None:
+        self._free.extend(reversed(self._owned[slot]))
+        self._owned[slot] = []
+        self.page_tables[slot, :] = 0
+        self.lengths[slot] = 0
+
+    def token_page_offsets(self, slot: int, start: int, count: int):
+        """(page_ids, offsets) arrays [count] for tokens [start, start+count).
+        Caller must have alloc_for'ed through start+count."""
+        pos = np.arange(start, start + count)
+        logical = pos // self.page_size
+        page_ids = self.page_tables[slot, logical]
+        offsets = (pos % self.page_size).astype(np.int32)
+        return page_ids.astype(np.int32), offsets

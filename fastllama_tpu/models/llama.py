@@ -362,6 +362,64 @@ def forward_jit(params, tokens, n_past, kv_caches, cfg: ForwardConfig,
     return forward(params, tokens, n_past, kv_caches, cfg, last_idx)
 
 
+def forward_paged_decode(params: LlamaParams, tokens: jax.Array,
+                         lengths: jax.Array, page_tables: jax.Array,
+                         k_pages: list[jax.Array], v_pages: list[jax.Array],
+                         page_ids: jax.Array, offsets: jax.Array,
+                         cfg: ForwardConfig, paged_attn=None):
+    """One decode step over a paged KV cache (engine/paged_kv.py).
+
+    Args:
+      tokens: [B, 1]; lengths: [B] tokens already resident (the new token's
+        position); page_tables: [B, pages_per_seq]; k_pages/v_pages: per
+        layer [H, P, ps, Dh]; page_ids/offsets: [B] physical write location
+        of the new token (precomputed by PagedKVManager).
+      paged_attn: attention impl f(q, kp, vp, lengths, tables) -> [B, H, D];
+        defaults to the gather-based reference (use paged_attention_tpu on
+        TPU for the DMA/online-softmax Pallas kernel).
+    Returns (logits [B, 1, V], k_pages, v_pages).
+    """
+    from ..engine.paged_kv import paged_attention_reference, write_tokens_paged
+    if paged_attn is None:
+        paged_attn = paged_attention_reference
+
+    b = tokens.shape[0]
+    act_dtype = cfg.act_jdtype
+    h = cfg.n_head
+    positions = lengths[:, None]                     # [B, 1]
+
+    x = embed_tokens(params.tok_embeddings, tokens, act_dtype, cfg)
+
+    new_kp, new_vp = [], []
+    for layer, kp, vp in zip(params.layers, k_pages, v_pages):
+        attn_in = rms_norm(x, layer.attention_norm, cfg.rms_eps)
+        qkv = apply_linear(attn_in, layer.wqkv, cfg)
+        q, k, v = split_qkv(qkv, h)
+        hd = q.shape[-1]
+        q = rope_interleaved(q, positions, cfg.n_rot)
+        k = rope_interleaved(k, positions, cfg.n_rot)
+
+        kp, vp = write_tokens_paged(kp, vp, k, v, page_ids[:, None],
+                                    offsets[:, None])
+        new_kp.append(kp)
+        new_vp.append(vp)
+
+        ctx = paged_attn(q[:, 0], kp, vp, lengths + 1, page_tables)
+        ctx = ctx.reshape(b, 1, h * hd).astype(act_dtype)
+        out = apply_linear(ctx, layer.wo, cfg)
+        if cfg.tp_axis is not None:
+            out = jax.lax.psum(out, cfg.tp_axis)
+        x = x + out.astype(act_dtype)
+        ffn_in = rms_norm(x, layer.ffn_norm, cfg.rms_eps)
+        x = x + _ffn(ffn_in, layer, cfg)
+
+    x = rms_norm(x, params.norm, cfg.rms_eps)
+    logits = apply_linear(x, params.output, cfg)
+    if cfg.tp_axis is not None:
+        logits = jax.lax.all_gather(logits, cfg.tp_axis, axis=-1, tiled=True)
+    return logits.astype(jnp.float32), new_kp, new_vp
+
+
 def init_kv_cache(hp: HyperParams, batch: int, n_ctx: int,
                   dtype=jnp.bfloat16) -> list[KVPair]:
     """Allocate the KV cache (reference: KVCacheBuffer::init, llama.cpp:24-51;

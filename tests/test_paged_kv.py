@@ -1,0 +1,120 @@
+"""Paged KV cache tests: allocator behavior and decode equivalence with the
+slab cache."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from fastllama_tpu.config import HyperParams
+from fastllama_tpu.engine.paged_kv import (
+    PagedKVManager, paged_attention_reference, write_tokens_paged,
+)
+from fastllama_tpu.models.llama import (
+    ForwardConfig, forward, forward_paged_decode, init_kv_cache,
+)
+
+from test_session import tiny_model  # fixture (n_embd=64, H=4, L=2)
+
+
+def test_allocator_alloc_free():
+    hp = HyperParams(n_vocab=64, n_embd=64, n_head=4, n_layer=2, n_rot=16)
+    m = PagedKVManager(hp, n_slots=3, page_size=8, total_pages=6,
+                       pages_per_seq=3, dtype=jnp.float32)
+    assert m.free_pages == 6
+    assert m.alloc_for(0, 1)          # 1 page
+    assert m.alloc_for(0, 8)          # still 1 page
+    assert m.alloc_for(0, 9)          # 2 pages
+    assert m.free_pages == 4
+    assert m.alloc_for(1, 24)         # 3 pages
+    assert m.free_pages == 1
+    assert not m.alloc_for(2, 16)     # needs 2, only 1 free -> OOM
+    m.free_slot(1)
+    assert m.free_pages == 4
+    assert m.alloc_for(2, 16)
+
+
+def test_allocator_pages_per_seq_cap():
+    hp = HyperParams(n_vocab=64, n_embd=64, n_head=4, n_layer=2, n_rot=16)
+    m = PagedKVManager(hp, n_slots=1, page_size=8, total_pages=16,
+                       pages_per_seq=2, dtype=jnp.float32)
+    assert m.alloc_for(0, 16)
+    assert not m.alloc_for(0, 17)     # over the per-sequence cap
+
+
+def test_token_page_offsets():
+    hp = HyperParams(n_vocab=64, n_embd=64, n_head=4, n_layer=2, n_rot=16)
+    m = PagedKVManager(hp, n_slots=1, page_size=4, total_pages=8,
+                       pages_per_seq=4, dtype=jnp.float32)
+    assert m.alloc_for(0, 10)
+    pages, offs = m.token_page_offsets(0, 2, 6)   # tokens 2..7
+    assert list(offs) == [2, 3, 0, 1, 2, 3]
+    assert pages[0] == pages[1] == m.page_tables[0, 0]
+    assert pages[2] == pages[5] == m.page_tables[0, 1]
+
+
+def test_paged_write_and_reference_attention():
+    rng = np.random.default_rng(0)
+    h, d, ps, pages = 2, 8, 4, 6
+    kp = jnp.zeros((h, pages, ps, d), jnp.float32)
+    vp = jnp.zeros_like(kp)
+    # one sequence of 5 tokens on pages [3, 1]
+    table = jnp.asarray([[3, 1, 0]], jnp.int32)
+    ks = rng.standard_normal((5, h, d)).astype(np.float32)
+    vs = rng.standard_normal((5, h, d)).astype(np.float32)
+    for t in range(5):
+        pid = [3] if t < ps else [1]
+        off = [t % ps]
+        kp, vp = write_tokens_paged(kp, vp,
+                                    jnp.asarray(ks[t][None, None]),
+                                    jnp.asarray(vs[t][None, None]),
+                                    jnp.asarray([pid], jnp.int32),
+                                    jnp.asarray([off], jnp.int32))
+    q = rng.standard_normal((1, h, d)).astype(np.float32)
+    out = np.asarray(paged_attention_reference(
+        jnp.asarray(q), kp, vp, jnp.asarray([5]), table))
+
+    # dense oracle
+    scores = np.einsum("hd,shd->hs", q[0], ks) / np.sqrt(d)
+    probs = np.exp(scores - scores.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    want = np.einsum("hs,shd->hd", probs, vs)
+    np.testing.assert_allclose(out[0], want, rtol=1e-5, atol=1e-5)
+
+
+def test_paged_decode_matches_slab(tiny_model):
+    """Prefill on the slab cache, mirror that KV into pages, then one decode
+    step each way — logits must match."""
+    hp = tiny_model.hp
+    cfg = ForwardConfig(n_head=hp.n_head, n_rot=hp.n_rot, w_dtype="float32",
+                        act_dtype="float32", use_pallas=False)
+    prompt = np.array([[1, 5, 9, 20, 7]], np.int32)
+    t0 = prompt.shape[1]
+    s = 16
+
+    kv = init_kv_cache(hp, 1, s, dtype=jnp.float32)
+    _, kv, _ = forward(tiny_model.params, jnp.asarray(prompt), jnp.int32(0),
+                       kv, cfg, jnp.int32(t0 - 1))
+    tok = jnp.asarray([[11]], jnp.int32)
+    ref_logits, kv2, _ = forward(tiny_model.params, tok, jnp.int32(t0), kv, cfg)
+
+    # build pages and copy the slab prefix in
+    ps = 4
+    mgr = PagedKVManager(hp, n_slots=1, page_size=ps, total_pages=8,
+                         pages_per_seq=4, dtype=jnp.float32)
+    assert mgr.alloc_for(0, t0 + 1)
+    pages, offs = mgr.token_page_offsets(0, 0, t0)
+    for li in range(hp.n_layer):
+        k_slab = np.asarray(kv[li][0])[0, :t0]      # [t0, H, D]
+        v_slab = np.asarray(kv[li][1])[0, :t0]
+        mgr.k_pages[li], mgr.v_pages[li] = write_tokens_paged(
+            mgr.k_pages[li], mgr.v_pages[li],
+            jnp.asarray(k_slab[None]), jnp.asarray(v_slab[None]),
+            jnp.asarray(pages[None]), jnp.asarray(offs[None]))
+
+    wpages, woffs = mgr.token_page_offsets(0, t0, 1)
+    paged_logits, _, _ = forward_paged_decode(
+        tiny_model.params, tok, jnp.asarray([t0], jnp.int32),
+        jnp.asarray(mgr.page_tables), mgr.k_pages, mgr.v_pages,
+        jnp.asarray(wpages, jnp.int32), jnp.asarray(woffs, jnp.int32), cfg)
+
+    np.testing.assert_allclose(np.asarray(paged_logits),
+                               np.asarray(ref_logits), rtol=2e-4, atol=2e-4)
