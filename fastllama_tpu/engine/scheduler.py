@@ -74,7 +74,13 @@ class BatchEngine:
                  sampling_seed: int = 0,
                  top_k: int = 40, top_p: float = 0.95, temp: float = 0.8,
                  repeat_penalty: float = 1.0, last_n: int = 64,
+                 kv_mode: str = "slab",
+                 page_size: int = 64, total_pages: int = 0,
                  logger: Logger = NULL_LOGGER):
+        """kv_mode: "slab" reserves [n_slots, n_ctx] KV up front; "paged"
+        shares a physical page pool (engine/paged_kv.py) so mixed-length
+        sequences only hold the pages they fill. total_pages defaults to the
+        slab-equivalent capacity."""
         self.hp = hp
         self.params = params
         self.vocab = vocab
@@ -83,9 +89,20 @@ class BatchEngine:
         self.logger = logger
         self.top_k, self.top_p, self.temp = top_k, top_p, temp
         self.repeat_penalty, self.last_n_size = repeat_penalty, last_n
+        self.kv_mode = kv_mode
 
         kv_dtype = jnp.dtype(rcfg.kv_dtype)
-        self.kv = init_kv_cache(hp, n_slots, n_ctx, kv_dtype)
+        if kv_mode == "paged":
+            from .paged_kv import PagedKVManager
+            total_pages = total_pages or (n_slots * n_ctx) // page_size
+            self.pager = PagedKVManager(
+                hp, n_slots=n_slots, page_size=page_size,
+                total_pages=total_pages,
+                pages_per_seq=-(-n_ctx // page_size), dtype=kv_dtype)
+            self.kv = None
+        else:
+            self.pager = None
+            self.kv = init_kv_cache(hp, n_slots, n_ctx, kv_dtype)
         self.cfg = ForwardConfig(
             n_head=hp.n_head, n_rot=hp.n_rot, w_dtype=rcfg.weight_dtype,
             use_pallas=rcfg.use_pallas, kv_update="scatter")
@@ -106,8 +123,12 @@ class BatchEngine:
         self._buckets = sorted({min(b, n_ctx) for b in rcfg.prefill_buckets}
                                | {n_ctx})
 
-        self._decode_fn = self._build_decode()
-        self._prefill_fn = self._build_prefill()
+        if kv_mode == "paged":
+            self._decode_fn = self._build_decode_paged()
+            self._prefill_fn = self._build_prefill_paged()
+        else:
+            self._decode_fn = self._build_decode()
+            self._prefill_fn = self._build_prefill()
 
     # -- compiled steps ------------------------------------------------------
 
@@ -146,6 +167,53 @@ class BatchEngine:
 
         return jax.jit(prefill, donate_argnums=(3,))
 
+    def _build_decode_paged(self):
+        from ..models.llama import forward_paged_decode
+        from .paged_kv import paged_attention_reference, paged_attention_tpu
+        cfg = self.cfg
+        top_k, top_p = self.top_k, self.top_p
+        temp, penalty = self.temp, self.repeat_penalty
+        # the library Pallas kernel needs lane-aligned head_dim (128) and a
+        # page_size that tiles; small test models fall back to the reference
+        hd = self.hp.head_dim
+        use_kernel = (jax.default_backend() == "tpu" and hd % 128 == 0
+                      and self.pager.page_size % 8 == 0)
+        if use_kernel:
+            def attn(q, kp, vp, lengths, tables):
+                return paged_attention_tpu(
+                    q, kp, vp, lengths, tables,
+                    pages_per_compute_block=min(4, tables.shape[1]))
+        else:
+            attn = paged_attention_reference
+
+        def step(params, tokens, lengths, tables, page_ids, offs, active,
+                 lastn, key, step_i, kpages, vpages):
+            logits, kpages, vpages = forward_paged_decode(
+                params, tokens, lengths, tables, kpages, vpages,
+                page_ids, offs, cfg, paged_attn=attn)
+            step_key = jax.random.fold_in(key, step_i)
+            nxt = sample_jax(logits[:, -1, :], lastn, step_key,
+                             top_k=top_k, top_p=top_p, temp=temp,
+                             repeat_penalty=penalty)
+            nxt = jnp.where(active, nxt, 0)
+            lastn = jnp.where(active[:, None],
+                              jnp.concatenate([lastn[:, 1:], nxt[:, None]],
+                                              axis=1),
+                              lastn)
+            return nxt[:, None], lastn, step_i + 1, kpages, vpages
+
+        return jax.jit(step, donate_argnums=(10, 11))
+
+    def _build_prefill_paged(self):
+        from ..models.llama import forward_paged_prefill
+        cfg = self.cfg
+
+        def prefill(params, tokens, last_idx, page_ids, offs, kpages, vpages):
+            return forward_paged_prefill(params, tokens, last_idx, page_ids,
+                                         offs, kpages, vpages, cfg)
+
+        return jax.jit(prefill, donate_argnums=(5, 6))
+
     # -- request lifecycle ---------------------------------------------------
 
     def submit(self, req: Request) -> Request:
@@ -178,22 +246,45 @@ class BatchEngine:
         req.slot = slot_idx
         req.n_prompt = len(ids)
 
-        # bucketed prefill: one batched call, only this row live
+        # bucketed prefill
         t = len(ids)
         bucket = next((b for b in self._buckets if b >= t), self.n_ctx)
-        toks = np.zeros((self.n_slots, bucket), np.int32)
-        toks[slot_idx, :t] = ids
-        row_past = np.full((self.n_slots,), self.n_ctx + 8, np.int32)
-        row_past[slot_idx] = 0
-        logits, self.kv = self._prefill_fn(
-            self.params, jnp.asarray(toks), jnp.asarray(row_past), self.kv,
-            jnp.int32(t - 1))
+        if self.pager is not None:
+            # fresh slot: prompt-local attention + page writes
+            if not self.pager.alloc_for(slot_idx, t):
+                slot.req = None
+                req.done = True
+                self.logger.log_err("BatchEngine",
+                                    f"request {req.rid}: out of KV pages\n")
+                return False
+            pages = np.full(bucket, self.pager.total_pages, np.int32)
+            offs = np.zeros(bucket, np.int32)
+            pages[:t], offs[:t] = self.pager.token_page_offsets(slot_idx, 0, t)
+            toks = np.zeros((1, bucket), np.int32)
+            toks[0, :t] = ids
+            logits_row, self.pager.k_pages, self.pager.v_pages = \
+                self._prefill_fn(self.params, jnp.asarray(toks),
+                                 jnp.int32(t - 1), jnp.asarray(pages),
+                                 jnp.asarray(offs), self.pager.k_pages,
+                                 self.pager.v_pages)
+            self.pager.lengths[slot_idx] = t
+            logits_for_slot = logits_row
+            lastn_row = self.d_lastn[slot_idx:slot_idx + 1]
+        else:
+            toks = np.zeros((self.n_slots, bucket), np.int32)
+            toks[slot_idx, :t] = ids
+            row_past = np.full((self.n_slots,), self.n_ctx + 8, np.int32)
+            row_past[slot_idx] = 0
+            logits, self.kv = self._prefill_fn(
+                self.params, jnp.asarray(toks), jnp.asarray(row_past), self.kv,
+                jnp.int32(t - 1))
+            logits_for_slot = logits[slot_idx:slot_idx + 1]
+            lastn_row = self.d_lastn[slot_idx:slot_idx + 1]
         if self.temp <= 0:
-            first = int(np.asarray(jnp.argmax(logits[slot_idx])))
+            first = int(np.asarray(jnp.argmax(logits_for_slot[0])))
         else:
             first = int(np.asarray(sample_jax(
-                logits[slot_idx:slot_idx + 1],
-                self.d_lastn[slot_idx:slot_idx + 1],
+                logits_for_slot, lastn_row,
                 jax.random.fold_in(self._base_key, 100000 + req.rid),
                 top_k=self.top_k, top_p=self.top_p, temp=self.temp,
                 repeat_penalty=self.repeat_penalty)[0]))
@@ -235,6 +326,8 @@ class BatchEngine:
         slot.req.done = True
         slot.req = None
         self.d_active = self.d_active.at[idx].set(False)
+        if self.pager is not None:
+            self.pager.free_slot(idx)
 
     # -- main loop -----------------------------------------------------------
 
@@ -254,10 +347,42 @@ class BatchEngine:
         if not any(s.req is not None for s in self.slots):
             return 0
 
-        (self.d_tokens, self.d_npast, self.d_lastn, self.d_step,
-         self.kv) = self._decode_fn(
-            self.params, self.d_tokens, self.d_npast, self.d_active,
-            self.d_lastn, self._base_key, self.d_step, self.kv)
+        if self.pager is not None:
+            sentinel = self.pager.total_pages
+            pages = np.full(self.n_slots, sentinel, np.int32)
+            offs = np.zeros(self.n_slots, np.int32)
+            lengths = np.zeros(self.n_slots, np.int32)
+            for i, slot in enumerate(self.slots):
+                if slot.req is None:
+                    continue
+                ln = int(self.pager.lengths[i])
+                if not self.pager.alloc_for(i, ln + 1):
+                    self.logger.log_err(
+                        "BatchEngine", f"slot {i}: out of KV pages, "
+                        "finishing early\n")
+                    slot.buffer.flush_all()
+                    self._finish(slot)
+                    continue
+                p, o = self.pager.token_page_offsets(i, ln, 1)
+                pages[i], offs[i] = p[0], o[0]
+                lengths[i] = ln
+            if not any(s.req is not None for s in self.slots):
+                return 0
+            (self.d_tokens, self.d_lastn, self.d_step,
+             self.pager.k_pages, self.pager.v_pages) = self._decode_fn(
+                self.params, self.d_tokens, jnp.asarray(lengths),
+                jnp.asarray(self.pager.page_tables), jnp.asarray(pages),
+                jnp.asarray(offs), self.d_active, self.d_lastn,
+                self._base_key, self.d_step, self.pager.k_pages,
+                self.pager.v_pages)
+            for i, slot in enumerate(self.slots):
+                if slot.req is not None:
+                    self.pager.lengths[i] += 1
+        else:
+            (self.d_tokens, self.d_npast, self.d_lastn, self.d_step,
+             self.kv) = self._decode_fn(
+                self.params, self.d_tokens, self.d_npast, self.d_active,
+                self.d_lastn, self._base_key, self.d_step, self.kv)
 
         toks = np.asarray(self.d_tokens)[:, 0]
         for i, slot in enumerate(self.slots):

@@ -420,6 +420,68 @@ def forward_paged_decode(params: LlamaParams, tokens: jax.Array,
     return logits.astype(jnp.float32), new_kp, new_vp
 
 
+def forward_paged_prefill(params: LlamaParams, tokens: jax.Array,
+                          last_idx: jax.Array, page_ids: jax.Array,
+                          offsets: jax.Array,
+                          k_pages: list[jax.Array], v_pages: list[jax.Array],
+                          cfg: ForwardConfig):
+    """Prefill a FRESH sequence into the paged cache.
+
+    A fresh slot needs no cache reads: causal self-attention over the prompt
+    block itself, with the block's K/V scattered into the sequence's pages
+    for subsequent paged decode. tokens [1, T] (bucketed; padded tail writes
+    carry sentinel page_ids that drop). Returns (last_logits [1, V],
+    k_pages, v_pages).
+    """
+    from ..engine.paged_kv import write_tokens_paged
+
+    b, t = tokens.shape
+    act_dtype = cfg.act_jdtype
+    h = cfg.n_head
+    positions = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[None], (b, t))
+
+    x = embed_tokens(params.tok_embeddings, tokens, act_dtype, cfg)
+
+    attn_prec = (jax.lax.Precision.HIGHEST
+                 if cfg.w_jdtype == jnp.float32 else None)
+    new_kp, new_vp = [], []
+    for layer, kp, vp in zip(params.layers, k_pages, v_pages):
+        attn_in = rms_norm(x, layer.attention_norm, cfg.rms_eps)
+        qkv = apply_linear(attn_in, layer.wqkv, cfg)
+        q, k, v = split_qkv(qkv, h)
+        hd = q.shape[-1]
+        q = rope_interleaved(q, positions, cfg.n_rot)
+        k = rope_interleaved(k, positions, cfg.n_rot)
+
+        kp, vp = write_tokens_paged(kp, vp, k, v, page_ids[None, :],
+                                    offsets[None, :])
+        new_kp.append(kp)
+        new_vp.append(vp)
+
+        scale = 1.0 / jnp.sqrt(jnp.float32(hd))
+        scores = jnp.einsum("bthd,bshd->bhts", q.astype(jnp.float32),
+                            k.astype(jnp.float32), precision=attn_prec) * scale
+        causal = (jnp.arange(t)[None, :] <= jnp.arange(t)[:, None])
+        scores = jnp.where(causal[None, None], scores, jnp.float32(-1e30))
+        probs = jax.nn.softmax(scores, axis=-1)
+        ctx = jnp.einsum("bhts,bshd->bthd", probs, v.astype(jnp.float32),
+                         precision=attn_prec)
+        ctx = ctx.reshape(b, t, h * hd).astype(act_dtype)
+        out = apply_linear(ctx, layer.wo, cfg)
+        if cfg.tp_axis is not None:
+            out = jax.lax.psum(out, cfg.tp_axis)
+        x = x + out.astype(act_dtype)
+        ffn_in = rms_norm(x, layer.ffn_norm, cfg.rms_eps)
+        x = x + _ffn(ffn_in, layer, cfg)
+
+    x = rms_norm(x, params.norm, cfg.rms_eps)
+    x_last = jax.lax.dynamic_slice_in_dim(x, last_idx, 1, axis=1)
+    logits = apply_linear(x_last, params.output, cfg)
+    if cfg.tp_axis is not None:
+        logits = jax.lax.all_gather(logits, cfg.tp_axis, axis=-1, tiled=True)
+    return logits[:, 0].astype(jnp.float32), new_kp, new_vp
+
+
 def init_kv_cache(hp: HyperParams, batch: int, n_ctx: int,
                   dtype=jnp.bfloat16) -> list[KVPair]:
     """Allocate the KV cache (reference: KVCacheBuffer::init, llama.cpp:24-51;

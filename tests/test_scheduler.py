@@ -20,6 +20,39 @@ def make_engine(tiny_model, n_slots=4, **kw):
                        n_slots=n_slots, n_ctx=64, rcfg=RCFG, **kw)
 
 
+def test_paged_engine_matches_slab(tiny_model):
+    """Greedy decode through the paged engine follows the slab engine."""
+    slab = make_engine(tiny_model, temp=0.0)
+    r1 = Request(prompt="w3 w4 w5", max_tokens=5)
+    slab.run([r1])
+
+    paged = make_engine(tiny_model, temp=0.0, kv_mode="paged", page_size=8)
+    r2 = Request(prompt="w3 w4 w5", max_tokens=5)
+    paged.run([r2])
+    n = min(3, len(r1.text), len(r2.text))
+    assert r2.text[:n] == r1.text[:n]
+
+
+def test_paged_engine_concurrent_and_page_reuse(tiny_model):
+    eng = make_engine(tiny_model, n_slots=3, temp=0.7, kv_mode="paged",
+                      page_size=8, total_pages=12)
+    reqs = [Request(prompt=f"w{i} w{i+2}", max_tokens=4) for i in range(6)]
+    eng.run(reqs)
+    assert all(r.done for r in reqs)
+    # all pages returned to the pool after completion
+    assert eng.pager.free_pages == 12
+
+
+def test_paged_engine_oom_finishes_gracefully(tiny_model):
+    # 2 pages of 8 tokens = 16-token pool; a 5-token prompt + 4 generated
+    # fits, but two concurrent requests exhaust it
+    eng = make_engine(tiny_model, n_slots=2, temp=0.7, kv_mode="paged",
+                      page_size=8, total_pages=2)
+    reqs = [Request(prompt="w1 w2 w3 w4", max_tokens=6) for _ in range(2)]
+    eng.run(reqs)
+    assert all(r.done for r in reqs)
+
+
 def test_single_request(tiny_model):
     eng = make_engine(tiny_model, temp=0.0)
     req = Request(prompt="w1 w2", max_tokens=6)
