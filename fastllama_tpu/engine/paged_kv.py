@@ -72,16 +72,23 @@ def write_tokens_paged(k_pages, v_pages, k_new, v_new, page_ids, offsets):
     k_new/v_new: [B, T, H, D]; page_ids/offsets: [B, T] physical page id and
     in-page offset per written token (precomputed by the manager; entries
     with page_id >= total_pages are dropped — inactive slots/padding).
+
+    The pool is viewed flat ([H, P*ps, D]) so the update scatters on a
+    single index dimension — a two-dim (page, offset) scatter lowered ~14
+    ms/step slower on v5e.
     """
-    h = k_pages.shape[0]
+    h, p, ps, d = k_pages.shape
     b, t = page_ids.shape
-    # [H, B*T] fancy-index write
     pid = page_ids.reshape(-1)
     off = offsets.reshape(-1)
+    # out-of-range page ids must stay out of range after flattening
+    flat = jnp.where(pid < p, pid * ps + off, p * ps)
     kv_k = k_new.reshape(b * t, h, -1).swapaxes(0, 1).astype(k_pages.dtype)
     kv_v = v_new.reshape(b * t, h, -1).swapaxes(0, 1).astype(v_pages.dtype)
-    k_pages = k_pages.at[:, pid, off, :].set(kv_k, mode="drop")
-    v_pages = v_pages.at[:, pid, off, :].set(kv_v, mode="drop")
+    k_pages = (k_pages.reshape(h, p * ps, d)
+               .at[:, flat, :].set(kv_k, mode="drop").reshape(h, p, ps, d))
+    v_pages = (v_pages.reshape(h, p * ps, d)
+               .at[:, flat, :].set(kv_v, mode="drop").reshape(h, p, ps, d))
     return k_pages, v_pages
 
 
