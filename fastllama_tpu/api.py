@@ -50,7 +50,8 @@ class Model:
                  # TPU-specific extras
                  kv_dtype: str = "bfloat16",
                  weight_dtype: str = "bfloat16",
-                 use_pallas: Optional[bool] = None):
+                 use_pallas: Optional[bool] = None,
+                 mesh_shape: tuple = ()):
         del num_threads, use_mmap, use_mlock, n_load_parallel_blocks
         del load_parallel, allocate_extra_mem
         self.logger = logger or DefaultLogger()
@@ -60,7 +61,7 @@ class Model:
             should_get_all_logits=should_get_all_logits,
             embedding_eval_enabled=embedding_eval_enabled,
             kv_dtype=kv_dtype, weight_dtype=weight_dtype,
-            use_pallas=use_pallas)
+            use_pallas=use_pallas, mesh_shape=tuple(mesh_shape))
         self._model = load_model(path, rcfg, self.logger)
         self._session = FastLlama(self._model, n_keep=tokens_to_keep,
                                   last_n_size=last_n_size, seed=seed)

@@ -36,13 +36,17 @@ def main() -> int:
         "that appropriately completes the request."))
     ap.add_argument("--stop-word", action="append", default=[],
                     help="may be given multiple times")
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel degree (shards the model over a "
+                         "(1, tp) device mesh)")
     args = ap.parse_args()
 
     from fastllama_tpu import Model
 
     print("loading model (first compile may take a minute)...")
     model = Model(args.model, n_ctx=args.n_ctx, n_batch=args.n_batch,
-                  tokens_to_keep=args.n_keep, seed=args.seed)
+                  tokens_to_keep=args.n_keep, seed=args.seed,
+                  mesh_shape=(1, args.tp) if args.tp > 1 else ())
     if args.system_prompt:
         if not model.ingest(args.system_prompt, is_system_prompt=True):
             print("failed to ingest system prompt", file=sys.stderr)
