@@ -82,19 +82,24 @@ def sample_host(logits: np.ndarray, last_tokens, params: SamplingParams,
 
 
 def sample_jax(logits: jax.Array, last_tokens: jax.Array, key: jax.Array,
-               top_k: int, top_p: float, temp: float,
-               repeat_penalty: float) -> jax.Array:
+               top_k: int, top_p: float, temp, repeat_penalty: float
+               ) -> jax.Array:
     """Batched on-device sampler: logits [B, V], last_tokens [B, W] (pad with
     -1), key: a single PRNG key (the [B, k] gumbel draw is vectorized from
     it). Returns [B] int32.
 
-    top_k/top_p/temp are static under jit (bucketed by the engine).
+    top_k/top_p are static under jit; `temp` may be a python float or a [B]
+    array (per-slot temperatures — rows with temp <= 0 decode greedily from
+    the raw logits, matching the reference's early greedy return,
+    bridge.cpp:39-42).
     """
     b, v = logits.shape
-    scaled = logits.astype(jnp.float32) / jnp.maximum(temp, 1e-6)
+    temp_v = jnp.broadcast_to(jnp.asarray(temp, jnp.float32), (b,))
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    scaled = logits.astype(jnp.float32) / jnp.maximum(temp_v, 1e-6)[:, None]
 
     if repeat_penalty != 1.0:
-        in_window = jnp.zeros((b, v), jnp.bool_)
         w = last_tokens.shape[-1]
         oh = jax.nn.one_hot(jnp.clip(last_tokens, 0, v - 1), v, dtype=jnp.bool_)
         valid = (last_tokens >= 0)[..., None]
@@ -102,9 +107,6 @@ def sample_jax(logits: jax.Array, last_tokens: jax.Array, key: jax.Array,
         pen = jnp.where(logits < 0, scaled * repeat_penalty,
                         scaled / repeat_penalty)
         scaled = jnp.where(in_window, pen, scaled)
-
-    if temp <= 0.0:
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     k = min(top_k if top_k > 0 else v, v)
     top_vals, top_idx = jax.lax.top_k(scaled, k)
@@ -122,4 +124,6 @@ def sample_jax(logits: jax.Array, last_tokens: jax.Array, key: jax.Array,
         jax.random.uniform(key, (b, k), minval=1e-20, maxval=1.0)))
     choice = jnp.argmax(jnp.where(probs > 0, jnp.log(probs) + gumbel,
                                   -jnp.inf), axis=-1)
-    return jnp.take_along_axis(top_idx, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)
+    sampled = jnp.take_along_axis(
+        top_idx, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)
+    return jnp.where(temp_v <= 0.0, greedy, sampled)

@@ -46,7 +46,8 @@ from ..models.llama import ForwardConfig, LlamaParams, forward, init_kv_cache
 class Request:
     prompt: str
     max_tokens: int = 128
-    temp: float = 0.8
+    temp: Optional[float] = None     # None = the engine's temperature;
+                                     # <= 0 decodes this request greedily
     stop_words: Sequence[str] = ()
     streaming_fn: Optional[Callable[[str], None]] = None
     # filled by the engine
@@ -112,6 +113,7 @@ class BatchEngine:
         self.d_npast = jnp.zeros((n_slots,), jnp.int32)
         self.d_active = jnp.zeros((n_slots,), jnp.bool_)
         self.d_lastn = jnp.full((n_slots, last_n), -1, jnp.int32)
+        self.d_temps = jnp.full((n_slots,), temp, jnp.float32)
         self._base_key = jax.random.PRNGKey(sampling_seed)
         # device-resident step counter: no per-step host->device scalar
         # transfer in the hot loop (the tunnel makes those expensive)
@@ -135,16 +137,16 @@ class BatchEngine:
     def _build_decode(self):
         cfg = self.cfg
         top_k, top_p = self.top_k, self.top_p
-        temp, penalty = self.temp, self.repeat_penalty
+        penalty = self.repeat_penalty
         n_ctx = self.n_ctx
 
-        def step(params, tokens, n_past, active, lastn, key, step_i, kv):
+        def step(params, tokens, n_past, active, lastn, temps, key, step_i, kv):
             # inactive slots: position beyond n_ctx -> their KV writes drop
             eff_past = jnp.where(active, n_past, n_ctx + 1)
             logits, kv, _ = forward(params, tokens, eff_past, kv, cfg)
             step_key = jax.random.fold_in(key, step_i)
             nxt = sample_jax(logits[:, -1, :], lastn, step_key,
-                             top_k=top_k, top_p=top_p, temp=temp,
+                             top_k=top_k, top_p=top_p, temp=temps,
                              repeat_penalty=penalty)
             nxt = jnp.where(active, nxt, 0)
             lastn = jnp.where(active[:, None],
@@ -154,16 +156,29 @@ class BatchEngine:
             n_past = jnp.where(active, n_past + 1, n_past)
             return nxt[:, None], n_past, lastn, step_i + 1, kv
 
-        return jax.jit(step, donate_argnums=(7,))
+        return jax.jit(step, donate_argnums=(8,))
 
     def _build_prefill(self):
+        """Single-row prefill: run the prompt through a fresh [1, n_ctx]
+        cache, then splice that row into the batched slab at `slot` — the
+        prompt costs 1/n_slots of a full-batch forward."""
         cfg = self.cfg
+        n_ctx = self.n_ctx
+        hp = self.hp
+        kv_dtype = jnp.dtype(self.kv[0][0].dtype) if self.kv else None
 
-        def prefill(params, tokens, row_past, kv, last_idx):
-            # rows with row_past > n_ctx are inactive (writes drop)
-            logits, kv, _ = forward(params, tokens, row_past, kv, cfg,
-                                    last_idx)
-            return logits[:, -1, :], kv
+        def prefill(params, tokens, slot, kv, last_idx):
+            tmp = [(jnp.zeros((1, n_ctx, hp.n_head, hp.head_dim), kv_dtype),
+                    jnp.zeros((1, n_ctx, hp.n_head, hp.head_dim), kv_dtype))
+                   for _ in range(hp.n_layer)]
+            logits, tmp, _ = forward(params, tokens, jnp.int32(0), tmp, cfg,
+                                     last_idx)
+            new_kv = []
+            for (k_all, v_all), (k1, v1) in zip(kv, tmp):
+                k_all = jax.lax.dynamic_update_slice(k_all, k1, (slot, 0, 0, 0))
+                v_all = jax.lax.dynamic_update_slice(v_all, v1, (slot, 0, 0, 0))
+                new_kv.append((k_all, v_all))
+            return logits[:, -1, :], new_kv
 
         return jax.jit(prefill, donate_argnums=(3,))
 
@@ -172,7 +187,7 @@ class BatchEngine:
         from .paged_kv import paged_attention_reference, paged_attention_tpu
         cfg = self.cfg
         top_k, top_p = self.top_k, self.top_p
-        temp, penalty = self.temp, self.repeat_penalty
+        penalty = self.repeat_penalty
         # the library Pallas kernel needs lane-aligned head_dim (128) and a
         # page_size that tiles; small test models fall back to the reference
         hd = self.hp.head_dim
@@ -187,13 +202,13 @@ class BatchEngine:
             attn = paged_attention_reference
 
         def step(params, tokens, lengths, tables, page_ids, offs, active,
-                 lastn, key, step_i, kpages, vpages):
+                 lastn, temps, key, step_i, kpages, vpages):
             logits, kpages, vpages = forward_paged_decode(
                 params, tokens, lengths, tables, kpages, vpages,
                 page_ids, offs, cfg, paged_attn=attn)
             step_key = jax.random.fold_in(key, step_i)
             nxt = sample_jax(logits[:, -1, :], lastn, step_key,
-                             top_k=top_k, top_p=top_p, temp=temp,
+                             top_k=top_k, top_p=top_p, temp=temps,
                              repeat_penalty=penalty)
             nxt = jnp.where(active, nxt, 0)
             lastn = jnp.where(active[:, None],
@@ -202,7 +217,7 @@ class BatchEngine:
                               lastn)
             return nxt[:, None], lastn, step_i + 1, kpages, vpages
 
-        return jax.jit(step, donate_argnums=(10, 11))
+        return jax.jit(step, donate_argnums=(11, 12))
 
     def _build_prefill_paged(self):
         from ..models.llama import forward_paged_prefill
@@ -246,9 +261,11 @@ class BatchEngine:
         req.slot = slot_idx
         req.n_prompt = len(ids)
 
-        # bucketed prefill
+        # bucketed prefill (single live row in both modes)
         t = len(ids)
         bucket = next((b for b in self._buckets if b >= t), self.n_ctx)
+        toks = np.zeros((1, bucket), np.int32)
+        toks[0, :t] = ids
         if self.pager is not None:
             # fresh slot: prompt-local attention + page writes
             if not self.pager.alloc_for(slot_idx, t):
@@ -260,33 +277,30 @@ class BatchEngine:
             pages = np.full(bucket, self.pager.total_pages, np.int32)
             offs = np.zeros(bucket, np.int32)
             pages[:t], offs[:t] = self.pager.token_page_offsets(slot_idx, 0, t)
-            toks = np.zeros((1, bucket), np.int32)
-            toks[0, :t] = ids
-            logits_row, self.pager.k_pages, self.pager.v_pages = \
+            logits_for_slot, self.pager.k_pages, self.pager.v_pages = \
                 self._prefill_fn(self.params, jnp.asarray(toks),
                                  jnp.int32(t - 1), jnp.asarray(pages),
                                  jnp.asarray(offs), self.pager.k_pages,
                                  self.pager.v_pages)
             self.pager.lengths[slot_idx] = t
-            logits_for_slot = logits_row
-            lastn_row = self.d_lastn[slot_idx:slot_idx + 1]
         else:
-            toks = np.zeros((self.n_slots, bucket), np.int32)
-            toks[slot_idx, :t] = ids
-            row_past = np.full((self.n_slots,), self.n_ctx + 8, np.int32)
-            row_past[slot_idx] = 0
-            logits, self.kv = self._prefill_fn(
-                self.params, jnp.asarray(toks), jnp.asarray(row_past), self.kv,
+            logits_for_slot, self.kv = self._prefill_fn(
+                self.params, jnp.asarray(toks), jnp.int32(slot_idx), self.kv,
                 jnp.int32(t - 1))
-            logits_for_slot = logits[slot_idx:slot_idx + 1]
-            lastn_row = self.d_lastn[slot_idx:slot_idx + 1]
-        if self.temp <= 0:
+
+        # the slot's sampling state must be fresh BEFORE the first-token
+        # sample (a previous occupant's last-n window must not penalize it)
+        req_temp = self.temp if req.temp is None else req.temp
+        self.d_temps = self.d_temps.at[slot_idx].set(req_temp)
+        self.d_lastn = self.d_lastn.at[slot_idx].set(
+            jnp.full((self.last_n_size,), -1, jnp.int32))
+        if req_temp <= 0:
             first = int(np.asarray(jnp.argmax(logits_for_slot[0])))
         else:
             first = int(np.asarray(sample_jax(
-                logits_for_slot, lastn_row,
+                logits_for_slot, self.d_lastn[slot_idx:slot_idx + 1],
                 jax.random.fold_in(self._base_key, 100000 + req.rid),
-                top_k=self.top_k, top_p=self.top_p, temp=self.temp,
+                top_k=self.top_k, top_p=self.top_p, temp=req_temp,
                 repeat_penalty=self.repeat_penalty)[0]))
 
         slot.n_past = t
@@ -297,8 +311,7 @@ class BatchEngine:
         self.d_tokens = self.d_tokens.at[slot_idx, 0].set(first)
         self.d_npast = self.d_npast.at[slot_idx].set(t)
         self.d_active = self.d_active.at[slot_idx].set(True)
-        self.d_lastn = self.d_lastn.at[slot_idx].set(
-            jnp.full((self.last_n_size,), -1, jnp.int32).at[-1].set(first))
+        self.d_lastn = self.d_lastn.at[slot_idx, -1].set(first)
         return True
 
     def _emit_token(self, slot: _Slot, token: int) -> None:
@@ -372,7 +385,7 @@ class BatchEngine:
              self.pager.k_pages, self.pager.v_pages) = self._decode_fn(
                 self.params, self.d_tokens, jnp.asarray(lengths),
                 jnp.asarray(self.pager.page_tables), jnp.asarray(pages),
-                jnp.asarray(offs), self.d_active, self.d_lastn,
+                jnp.asarray(offs), self.d_active, self.d_lastn, self.d_temps,
                 self._base_key, self.d_step, self.pager.k_pages,
                 self.pager.v_pages)
             for i, slot in enumerate(self.slots):
@@ -382,7 +395,8 @@ class BatchEngine:
             (self.d_tokens, self.d_npast, self.d_lastn, self.d_step,
              self.kv) = self._decode_fn(
                 self.params, self.d_tokens, self.d_npast, self.d_active,
-                self.d_lastn, self._base_key, self.d_step, self.kv)
+                self.d_lastn, self.d_temps, self._base_key, self.d_step,
+                self.kv)
 
         toks = np.asarray(self.d_tokens)[:, 0]
         for i, slot in enumerate(self.slots):

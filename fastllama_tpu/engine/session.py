@@ -89,23 +89,28 @@ class FastLlama:
 
         if begin_pos < len(self._system_prompt):
             self._embd = self._system_prompt + self._embd
-            return True
+        else:
+            recent = list(self._last_n)[last_tokens_len - begin_pos:]
+            self._embd = self._system_prompt + recent + self._embd
 
-        recent = list(self._last_n)[last_tokens_len - begin_pos:]
         # Safety clamp absent from the reference: its arithmetic can re-feed
-        # more than fits when last_n_size ~ n_ctx (the C++ version would then
-        # write the KV cache out of bounds, lib/llama.cpp:336-343). Trim the
-        # oldest re-fed tokens so the window always fits.
-        max_recent = (self.model.hp.n_ctx - self.n_past
-                      - len(self._system_prompt) - len(self._embd))
-        if max_recent < len(recent):
-            recent = recent[len(recent) - max(max_recent, 0):]
-        self._embd = self._system_prompt + recent + self._embd
+        # more than fits (e.g. last_n_size ~ n_ctx, or n_keep close to n_ctx
+        # with a large system prompt) — the C++ version would then write the
+        # KV cache out of bounds (lib/llama.cpp:336-343). Drop the oldest
+        # re-fed tokens so the window always fits.
+        overflow = self.n_past + len(self._embd) - self.model.hp.n_ctx
+        if overflow > 0:
+            del self._embd[:overflow]
         return True
 
-    def _flush_embd(self, all_logits: bool = False) -> bool:
+    def _flush_embd(self, all_logits: bool | None = None) -> bool:
         """Evaluate any scheduled tokens (the reference's inline
-        `if (!m_embd.empty()) eval(...)` + n_past advance)."""
+        `if (!m_embd.empty()) eval(...)` + n_past advance).
+
+        all_logits defaults to the model's should_get_all_logits flag
+        (reference: Model.should_put_all_logits, honored per eval)."""
+        if all_logits is None:
+            all_logits = self.model.rcfg.should_get_all_logits
         if self._embd:
             self._logits = self.model.eval(self.n_past, self._embd,
                                            all_logits=all_logits)
@@ -292,6 +297,8 @@ class FastLlama:
                     return False
                 self.n_past = int(header["n_past"])
                 self.n_keep = int(header["n_keep"])
+                self.last_n_size = int(header.get("last_n_size",
+                                                  self.last_n_size))
                 rng_state = header["rng"]
                 self._rng = np.random.default_rng()
                 self._rng.bit_generator.state = rng_state

@@ -39,6 +39,9 @@ class LlamaModel:
         kv_dtype = jnp.dtype(rcfg.kv_dtype)
         self.kv = init_kv_cache(self.hp, 1, rcfg.n_ctx, kv_dtype)
         self.n_cached = 0    # tokens resident in the cache (state save/load)
+        # embeddings tap before any eval: zeros (the reference returns an
+        # empty span; a crash would be worse)
+        self._embeddings = jnp.zeros((1, hp.n_embd), jnp.float32)
 
         base = dict(n_head=hp.n_head, n_rot=hp.n_rot,
                     w_dtype=rcfg.weight_dtype, use_pallas=rcfg.use_pallas)
@@ -124,6 +127,7 @@ class LlamaModel:
 
     def reset(self) -> bool:
         self.n_cached = 0
+        self._embeddings = jnp.zeros((1, self.hp.n_embd), jnp.float32)
         return True
 
     def kv_state(self) -> dict[str, np.ndarray]:

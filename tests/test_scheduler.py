@@ -154,6 +154,34 @@ def test_batched_isolation(tiny_model):
     assert together.text == alone.text
 
 
+def test_per_request_temp_honored(tiny_model):
+    """A temp=0 request inside a hot-temperature engine decodes greedily
+    (deterministic across runs), while engine-temp requests stay stochastic."""
+    outs = []
+    for _ in range(2):
+        eng = make_engine(tiny_model, temp=0.9)
+        greedy = Request(prompt="w2 w4", max_tokens=5, temp=0.0)
+        hot = Request(prompt="w2 w4", max_tokens=5)
+        eng.run([greedy, hot])
+        outs.append(greedy.text)
+    assert outs[0] == outs[1]
+
+
+def test_admit_does_not_inherit_previous_lastn(tiny_model):
+    """A new request in a reused slot must not be repetition-penalized by the
+    previous occupant's token window (greedy + penalty => deterministic)."""
+    eng = make_engine(tiny_model, n_slots=1, temp=0.0, repeat_penalty=1.5)
+    first = Request(prompt="w1 w2", max_tokens=6)
+    eng.run([first])
+    reused = Request(prompt="w5 w6", max_tokens=6)
+    eng.run([reused])
+
+    eng2 = make_engine(tiny_model, n_slots=1, temp=0.0, repeat_penalty=1.5)
+    fresh = Request(prompt="w5 w6", max_tokens=6)
+    eng2.run([fresh])
+    assert reused.text == fresh.text
+
+
 def test_max_tokens_respected(tiny_model):
     eng = make_engine(tiny_model, temp=0.9)
     req = Request(prompt="w1", max_tokens=3)

@@ -174,6 +174,43 @@ def test_stop_words_and_resume(tiny_model):
     assert isinstance(st.left_out, bytes)
 
 
+def test_recycle_large_system_prompt_no_overflow(tiny_model):
+    """Recycle branch 1 (system prompt longer than the recent-window cut)
+    must also clamp: n_keep close to n_ctx with a big system prompt used to
+    raise 'eval window exceeds n_ctx' mid-generate."""
+    s = fresh_session(tiny_model, n_keep=40)
+    # ~31 byte-fallback tokens: n_keep(40) + sys(~31) + pending > n_ctx(64)
+    # exercises the branch-1 overflow
+    sys_prompt = " ".join(f"w{i % 9}" for i in range(10))
+    assert s.ingest(" " + sys_prompt, is_system_prompt=True)
+    assert s.generate(lambda t: None, num_tokens=80, temp=0.9)
+    assert s.n_past <= tiny_model.hp.n_ctx
+
+
+def test_should_get_all_logits_honored(tiny_model):
+    """With the flag set, get_logits() returns the full [T, V] matrix after
+    ingest (reference: should_put_all_logits, bridge.cpp:152-155)."""
+    import dataclasses
+    old = tiny_model.rcfg
+    tiny_model.rcfg = dataclasses.replace(old, should_get_all_logits=True)
+    try:
+        s = fresh_session(tiny_model)
+        assert s.ingest(" w1 w2 w3")
+        s._flush_embd()
+        logits = s.get_logits()
+        assert logits.ndim == 2 and logits.shape[1] == tiny_model.hp.n_vocab
+        assert logits.shape[0] >= 4   # BOS + space-prefixed tokens
+    finally:
+        tiny_model.rcfg = old
+
+
+def test_get_embeddings_before_eval(tiny_model):
+    tiny_model.reset()
+    emb = tiny_model.get_embeddings()
+    assert emb.shape == (tiny_model.hp.n_embd,)
+    assert (emb == 0).all()
+
+
 def test_get_embeddings(tiny_model):
     s = fresh_session(tiny_model)
     assert s.ingest(" w1 w2")
