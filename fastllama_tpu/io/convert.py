@@ -356,3 +356,70 @@ def quantize(src: str, dst: str, ftype: FType = FType.MOSTLY_Q4_0,
         convert_hf(src, dst, ftype, logger=logger)
     else:
         convert_ggml(src, dst, ftype, logger=logger)
+
+
+def export_ggjt(src: str, dst: str, ftype: FType = FType.MOSTLY_Q4_0,
+                logger: Logger = NULL_LOGGER) -> None:
+    """Export any readable checkpoint (fltpu dir / ggml file / HF dir) as a
+    GGJT file the reference ecosystem can load. q4_0 sources pass through
+    bit-exactly; dense sources are quantized per ftype."""
+    from ..quant.tensor import matmul_weight_to_codes, QuantMatmulWeight
+    from .checkpoint import open_checkpoint
+    from .ggml_writer import write_ggjt
+
+    src_p = Path(src)
+    tensors: dict[str, tuple] = {}
+
+    if src_p.is_dir() and (src_p / "manifest.json").exists():
+        ckpt = open_checkpoint(src_p)
+        hp, vocab = ckpt.hp, ckpt.vocab
+        for name, meta in ckpt.tensors.items():
+            kind = meta["kind"]
+            if kind == "q4_matmul":
+                qs, sc = ckpt.raw_q4_planes(name)
+                k, n = meta["shape"]
+                w = QuantMatmulWeight(qs=qs, scales=sc, n_logical=n)
+                codes, scales = matmul_weight_to_codes(w, k_logical=k)
+                tensors[name] = ("q4_0", codes, scales)
+            elif kind == "q41_matmul":
+                # unpack affine planes back to row-major q4_1
+                qs, sc, mn = ckpt.raw_q4_planes(name)
+                k, n = meta["shape"]
+                w = QuantMatmulWeight(qs=qs, scales=sc, n_logical=n)
+                codes, scales = matmul_weight_to_codes(w, k_logical=k)
+                mins = np.ascontiguousarray(mn[: k // 32, :n].T)
+                tensors[name] = ("q4_1", codes, scales, mins)
+            elif kind == "q4_embedding":
+                v, d = meta["shape"]
+                from ..quant.tensor import split_unpack_lastdim
+                qs = ckpt._payload(meta["qs"], np.uint8, (v, d // 2))
+                sc = ckpt._payload(meta["scales"], np.float32, (v, d // 32))
+                tensors[name] = ("q4_0", split_unpack_lastdim(qs), sc)
+            else:
+                arr = ckpt.raw_dense(name)
+                if arr.ndim == 2 and name != "tok_embeddings.weight":
+                    arr = np.ascontiguousarray(arr.T)   # back to [N, K]
+                kind_out = "f16" if arr.dtype == np.float16 else "f32"
+                tensors[name] = (kind_out, arr)
+        write_ggjt(dst, hp, vocab, tensors)
+    else:
+        if src_p.is_dir() and (src_p / "config.json").exists():
+            import tempfile
+            with tempfile.TemporaryDirectory() as tmp:
+                convert_hf(src, tmp + "/x.fltpu", ftype, logger=logger)
+                export_ggjt(tmp + "/x.fltpu", dst, ftype, logger=logger)
+                return
+        ckpt = read_ggml_checkpoint(src)
+        hp, vocab = ckpt.hyperparams, ckpt.vocab
+        for name in ckpt.tensor_names():
+            ttype = ckpt.tensor_type(name)
+            if ttype == GGML_TYPE_Q4_0 and ftype == FType.MOSTLY_Q4_0:
+                tensors[name] = ("q4_0",) + ckpt.q4_0(name)
+            else:
+                dense = ckpt.dense(name)
+                if dense.ndim == 2 and ftype == FType.MOSTLY_Q4_0:
+                    tensors[name] = ("q4_0",) + _quantize_rows_parallel(dense)
+                else:
+                    tensors[name] = ("f32", dense)
+        write_ggjt(dst, hp, vocab, tensors)
+    logger.log("export_ggjt", f"wrote {dst}\n")

@@ -110,6 +110,30 @@ def test_convert_ggml_to_fltpu_and_load(ggjt_path, tmp_path):
     assert "".join(out1) == "".join(out2)
 
 
+def test_export_ggjt_roundtrip(ggjt_path, tmp_path):
+    """ggml -> fltpu -> ggjt must round-trip q4_0 payloads bit-exactly."""
+    from fastllama_tpu.io.convert import export_ggjt
+    flt = str(tmp_path / "rt.fltpu")
+    convert_ggml(ggjt_path, flt, FType.MOSTLY_Q4_0)
+    out = str(tmp_path / "rt.bin")
+    export_ggjt(flt, out, FType.MOSTLY_Q4_0)
+
+    a = read_ggml_checkpoint(ggjt_path)
+    b = read_ggml_checkpoint(out)
+    assert b.hyperparams.n_embd == a.hyperparams.n_embd
+    for name in ("layers.0.attention.wq.weight", "output.weight",
+                 "tok_embeddings.weight"):
+        ca, sa = a.q4_0(name)
+        cb, sb = b.q4_0(name)
+        np.testing.assert_array_equal(cb, ca)
+        np.testing.assert_array_equal(sb, sa)
+    # the exported file loads and generates
+    model = load_model(out, RCFG)
+    s = FastLlama(model, n_keep=16, seed=2)
+    assert s.ingest(" t1")
+    assert s.generate(lambda t: None, num_tokens=2, temp=0.0)
+
+
 def test_hf_name_mapping():
     assert hf_to_ggml_name("model.embed_tokens.weight") == "tok_embeddings.weight"
     assert hf_to_ggml_name("lm_head.weight") == "output.weight"
