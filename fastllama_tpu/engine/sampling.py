@@ -82,16 +82,22 @@ def sample_host(logits: np.ndarray, last_tokens, params: SamplingParams,
 
 
 def sample_jax(logits: jax.Array, last_tokens: jax.Array, key: jax.Array,
-               top_k: int, top_p: float, temp, repeat_penalty: float
-               ) -> jax.Array:
+               top_k: int, top_p, temp, repeat_penalty,
+               top_k_v: jax.Array | None = None) -> jax.Array:
     """Batched on-device sampler: logits [B, V], last_tokens [B, W] (pad with
     -1), key: a single PRNG key (the [B, k] gumbel draw is vectorized from
     it). Returns [B] int32.
 
-    top_k/top_p are static under jit; `temp` may be a python float or a [B]
-    array (per-slot temperatures — rows with temp <= 0 decode greedily from
-    the raw logits, matching the reference's early greedy return,
-    bridge.cpp:39-42).
+    Serving engines need sampling knobs *per request* (the reference takes
+    them per generate() call, bridge.cpp:240-312), so every knob except the
+    top-k cap is vectorized over rows:
+
+      top_k:          static cap (sets the jax.lax.top_k width under jit)
+      top_k_v:        optional [B] int32 per-row k in [1, top_k]
+      top_p:          python float or [B] f32
+      temp:           python float or [B] f32 — rows with temp <= 0 decode
+                      greedily from the raw logits (bridge.cpp:39-42)
+      repeat_penalty: python float or [B] f32 (CTRL penalty over last_tokens)
     """
     b, v = logits.shape
     temp_v = jnp.broadcast_to(jnp.asarray(temp, jnp.float32), (b,))
@@ -99,24 +105,31 @@ def sample_jax(logits: jax.Array, last_tokens: jax.Array, key: jax.Array,
 
     scaled = logits.astype(jnp.float32) / jnp.maximum(temp_v, 1e-6)[:, None]
 
-    if repeat_penalty != 1.0:
-        w = last_tokens.shape[-1]
+    static_rp = isinstance(repeat_penalty, (int, float))
+    if not (static_rp and repeat_penalty == 1.0):
+        rp_v = jnp.broadcast_to(
+            jnp.asarray(repeat_penalty, jnp.float32), (b,))[:, None]
         oh = jax.nn.one_hot(jnp.clip(last_tokens, 0, v - 1), v, dtype=jnp.bool_)
         valid = (last_tokens >= 0)[..., None]
         in_window = jnp.any(oh & valid, axis=1)
-        pen = jnp.where(logits < 0, scaled * repeat_penalty,
-                        scaled / repeat_penalty)
+        pen = jnp.where(logits < 0, scaled * rp_v, scaled / rp_v)
         scaled = jnp.where(in_window, pen, scaled)
 
     k = min(top_k if top_k > 0 else v, v)
     top_vals, top_idx = jax.lax.top_k(scaled, k)
+    if top_k_v is not None:
+        # per-row k: ranks past the row's k drop out before the softmax
+        keep_k = jnp.arange(k)[None, :] < jnp.clip(top_k_v, 1, k)[:, None]
+        top_vals = jnp.where(keep_k, top_vals, -jnp.inf)
     probs = jax.nn.softmax(top_vals, axis=-1)
 
-    if top_p < 1.0:
+    static_tp = isinstance(top_p, (int, float))
+    if not (static_tp and top_p >= 1.0):
+        tp_v = jnp.broadcast_to(jnp.asarray(top_p, jnp.float32), (b,))[:, None]
         cum = jnp.cumsum(probs, axis=-1)
         # keep entries whose *preceding* cumsum < top_p (inclusive cut)
         keep = jnp.concatenate(
-            [jnp.ones((b, 1), jnp.bool_), cum[:, :-1] < top_p], axis=-1)
+            [jnp.ones((b, 1), jnp.bool_), cum[:, :-1] < tp_v], axis=-1)
         probs = jnp.where(keep, probs, 0.0)
         probs = probs / probs.sum(axis=-1, keepdims=True)
 

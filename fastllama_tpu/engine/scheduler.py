@@ -12,20 +12,31 @@ TPU-native design points:
     positions (models/llama.py accepts n_past as a [B] vector; the KV
     scatter path writes each row at its own offset, mode='drop' discards
     rows flagged inactive by an out-of-range position).
-  * Prefill reuses the same batched forward: only the admitted slot's row
-    carries real tokens; every other row's position is pushed past n_ctx so
-    its cache writes drop. One compile per (bucketed) prefill length.
-  * Sampling runs on device (engine/sampling.sample_jax) with per-slot PRNG
-    keys and repetition-penalty windows; the sampled token feeds the next
-    step without a host round trip. The host drains tokens asynchronously
-    for detokenization/streaming and EOS/stop-word handling, a few steps
-    behind — late-stopped slots just produce ignored tokens.
+  * Multi-chip: with rcfg.mesh_shape=(dp, tp) the decode/prefill steps run
+    under shard_map over a jax.sharding.Mesh — weights Megatron-sharded on
+    the model axis (parallel/sharding.py), slots split over the data axis,
+    KV heads on the model axis. This is what makes 30B/65B continuous
+    batching reachable at all: 30B q4 (19.5 GB) needs tp>=2 on 16 GB chips.
+    Sampling stays on device per data shard; only sampled token ids cross
+    to the host.
+  * Sampling parameters are per request (temp/top_k/top_p/repeat_penalty
+    vectorized over slots in engine/sampling.sample_jax), matching the
+    reference's per-generate() knobs (lib/bridge.cpp:240-312). The engine's
+    top_k is the static cap per-request values are clamped to.
+  * The host drains sampled tokens asynchronously: step() launches the next
+    device step and only blocks on the readback from `drain_depth` steps
+    ago, so the ~27 ms tunnel readback overlaps device compute instead of
+    serializing with it. EOS/stop handling tolerates the lag by design —
+    a slot that stopped k steps ago just produced k ignored tokens (drained
+    entries are matched by request id, so a re-admitted slot never sees a
+    previous occupant's stale tokens).
   * Slot state that must survive across steps lives on device (positions,
-    active mask, last-n window); host-side Request objects hold text
-    streams and lifecycle.
+    active mask, last-n window, per-slot sampling params); host-side
+    Request objects hold text streams and lifecycle.
 """
 from __future__ import annotations
 
+import collections
 import dataclasses
 import queue
 from typing import Callable, Optional, Sequence
@@ -46,8 +57,12 @@ from ..models.llama import ForwardConfig, LlamaParams, forward, init_kv_cache
 class Request:
     prompt: str
     max_tokens: int = 128
-    temp: Optional[float] = None     # None = the engine's temperature;
-                                     # <= 0 decodes this request greedily
+    # sampling knobs: None = the engine's default. temp <= 0 decodes this
+    # request greedily. top_k is clamped to the engine's static top_k cap.
+    temp: Optional[float] = None
+    top_k: Optional[int] = None
+    top_p: Optional[float] = None
+    repeat_penalty: Optional[float] = None
     stop_words: Sequence[str] = ()
     streaming_fn: Optional[Callable[[str], None]] = None
     # filled by the engine
@@ -77,13 +92,18 @@ class BatchEngine:
                  repeat_penalty: float = 1.0, last_n: int = 64,
                  kv_mode: str = "slab",
                  page_size: int = 64, total_pages: int = 0,
+                 drain_depth: Optional[int] = None,
                  logger: Logger = NULL_LOGGER):
         """kv_mode: "slab" reserves [n_slots, n_ctx] KV up front; "paged"
         shares a physical page pool (engine/paged_kv.py) so mixed-length
         sequences only hold the pages they fill. total_pages defaults to the
-        slab-equivalent capacity."""
+        slab-equivalent capacity.
+
+        drain_depth: how many decode steps the host token drain lags the
+        device (None = 2 on TPU where the readback costs ~27 ms over the
+        tunnel, 0 elsewhere). 0 = fully synchronous.
+        """
         self.hp = hp
-        self.params = params
         self.vocab = vocab
         self.n_slots = n_slots
         self.n_ctx = n_ctx
@@ -91,6 +111,33 @@ class BatchEngine:
         self.top_k, self.top_p, self.temp = top_k, top_p, temp
         self.repeat_penalty, self.last_n_size = repeat_penalty, last_n
         self.kv_mode = kv_mode
+        if drain_depth is None:
+            drain_depth = 2 if jax.default_backend() == "tpu" else 0
+        self.drain_depth = drain_depth
+        # (tokens device array, per-slot rid snapshot) per launched step
+        self._inflight: collections.deque[tuple[jax.Array, list[int]]] = \
+            collections.deque()
+
+        # -- mesh (multi-chip) setup ----------------------------------------
+        self.mesh = None
+        self.dp = self.tp = 1
+        if rcfg.mesh_shape and int(np.prod(rcfg.mesh_shape)) > 1:
+            from ..parallel.sharding import make_mesh, shard_params
+            dp, tp = (rcfg.mesh_shape if len(rcfg.mesh_shape) == 2
+                      else (1, rcfg.mesh_shape[0]))
+            if kv_mode == "paged":
+                raise NotImplementedError(
+                    "paged KV is single-device for now; use kv_mode='slab' "
+                    "with a mesh")
+            if n_slots % dp:
+                raise ValueError(f"n_slots={n_slots} not divisible by dp={dp}")
+            if hp.n_head % tp:
+                raise ValueError(f"n_head={hp.n_head} not divisible by tp={tp}")
+            self.mesh = make_mesh(n_data=dp, n_model=tp)
+            self.dp, self.tp = dp, tp
+            params = shard_params(params, self.mesh)
+            logger.log("BatchEngine", f"sharded over mesh dp={dp} tp={tp}\n")
+        self.params = params
 
         kv_dtype = jnp.dtype(rcfg.kv_dtype)
         if kv_mode == "paged":
@@ -104,9 +151,13 @@ class BatchEngine:
         else:
             self.pager = None
             self.kv = init_kv_cache(hp, n_slots, n_ctx, kv_dtype)
+            if self.mesh is not None:
+                from ..parallel.sharding import shard_kv
+                self.kv = shard_kv(self.kv, self.mesh)
         self.cfg = ForwardConfig(
             n_head=hp.n_head, n_rot=hp.n_rot, w_dtype=rcfg.weight_dtype,
-            use_pallas=rcfg.use_pallas, kv_update="scatter")
+            use_pallas=rcfg.use_pallas, kv_update="scatter",
+            vocab_size=hp.n_vocab)
 
         # device-side slot state
         self.d_tokens = jnp.zeros((n_slots, 1), jnp.int32)
@@ -114,6 +165,9 @@ class BatchEngine:
         self.d_active = jnp.zeros((n_slots,), jnp.bool_)
         self.d_lastn = jnp.full((n_slots, last_n), -1, jnp.int32)
         self.d_temps = jnp.full((n_slots,), temp, jnp.float32)
+        self.d_topk = jnp.full((n_slots,), top_k, jnp.int32)
+        self.d_topp = jnp.full((n_slots,), top_p, jnp.float32)
+        self.d_rp = jnp.full((n_slots,), repeat_penalty, jnp.float32)
         self._base_key = jax.random.PRNGKey(sampling_seed)
         # device-resident step counter: no per-step host->device scalar
         # transfer in the hot loop (the tunnel makes those expensive)
@@ -128,26 +182,34 @@ class BatchEngine:
         if kv_mode == "paged":
             self._decode_fn = self._build_decode_paged()
             self._prefill_fn = self._build_prefill_paged()
+        elif self.mesh is not None:
+            self._decode_fn = self._build_decode_mesh()
+            self._prefill_fn = self._build_prefill_mesh()
         else:
             self._decode_fn = self._build_decode()
             self._prefill_fn = self._build_prefill()
 
     # -- compiled steps ------------------------------------------------------
 
-    def _build_decode(self):
-        cfg = self.cfg
-        top_k, top_p = self.top_k, self.top_p
-        penalty = self.repeat_penalty
+    def _decode_core(self, cfg: ForwardConfig, dp_axis: str | None = None):
+        """The decode-step body shared by the single-device and shard_map
+        builders: forward + on-device per-slot sampling + state advance."""
+        top_k_cap = self.top_k
         n_ctx = self.n_ctx
 
-        def step(params, tokens, n_past, active, lastn, temps, key, step_i, kv):
+        def step(params, tokens, n_past, active, lastn, temps, topks, topps,
+                 rps, key, step_i, kv):
             # inactive slots: position beyond n_ctx -> their KV writes drop
             eff_past = jnp.where(active, n_past, n_ctx + 1)
             logits, kv, _ = forward(params, tokens, eff_past, kv, cfg)
             step_key = jax.random.fold_in(key, step_i)
+            if dp_axis is not None:
+                # decorrelate data shards (each samples its own slot rows)
+                step_key = jax.random.fold_in(
+                    step_key, jax.lax.axis_index(dp_axis).astype(jnp.uint32))
             nxt = sample_jax(logits[:, -1, :], lastn, step_key,
-                             top_k=top_k, top_p=top_p, temp=temps,
-                             repeat_penalty=penalty)
+                             top_k=top_k_cap, top_p=topps, temp=temps,
+                             repeat_penalty=rps, top_k_v=topks)
             nxt = jnp.where(active, nxt, 0)
             lastn = jnp.where(active[:, None],
                               jnp.concatenate([lastn[:, 1:], nxt[:, None]],
@@ -156,7 +218,31 @@ class BatchEngine:
             n_past = jnp.where(active, n_past + 1, n_past)
             return nxt[:, None], n_past, lastn, step_i + 1, kv
 
-        return jax.jit(step, donate_argnums=(8,))
+        return step
+
+    def _build_decode(self):
+        return jax.jit(self._decode_core(self.cfg), donate_argnums=(11,))
+
+    def _build_decode_mesh(self):
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        from ..parallel.sharding import (
+            DATA_AXIS, KV_SPEC, MODEL_AXIS, params_pspec_tree,
+        )
+        local_cfg = dataclasses.replace(
+            self.cfg, n_head=self.hp.n_head // self.tp, tp_axis=MODEL_AXIS)
+        step = self._decode_core(local_cfg, dp_axis=DATA_AXIS)
+
+        pspecs = params_pspec_tree(self.params)
+        kv_specs = [(KV_SPEC, KV_SPEC)] * self.hp.n_layer
+        pd = P(DATA_AXIS)
+        pd2 = P(DATA_AXIS, None)
+        in_specs = (pspecs, pd2, pd, pd, pd2, pd, pd, pd, pd, P(), P(),
+                    kv_specs)
+        out_specs = (pd2, pd, pd2, P(), kv_specs)
+        fn = shard_map(step, mesh=self.mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_vma=False)
+        return jax.jit(fn, donate_argnums=(11,))
 
     def _build_prefill(self):
         """Single-row prefill: run the prompt through a fresh [1, n_ctx]
@@ -182,12 +268,38 @@ class BatchEngine:
 
         return jax.jit(prefill, donate_argnums=(3,))
 
+    def _build_prefill_mesh(self):
+        """Mesh prefill: a full-batch scatter forward where only the admitted
+        slot's row carries real tokens (other rows' positions sit past n_ctx
+        so their KV writes drop). A [1, T] row cannot be split over the data
+        axis, so the mesh path trades the 1/n_slots prefill saving for a
+        single SPMD program that needs no cross-shard splice."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        from ..parallel.sharding import (
+            DATA_AXIS, KV_SPEC, MODEL_AXIS, params_pspec_tree,
+        )
+        local_cfg = dataclasses.replace(
+            self.cfg, n_head=self.hp.n_head // self.tp, tp_axis=MODEL_AXIS)
+
+        def prefill(params, tokens, row_past, kv, last_idx):
+            logits, kv, _ = forward(params, tokens, row_past, kv, local_cfg,
+                                    last_idx)
+            return logits[:, -1, :], kv
+
+        pspecs = params_pspec_tree(self.params)
+        kv_specs = [(KV_SPEC, KV_SPEC)] * self.hp.n_layer
+        in_specs = (pspecs, P(DATA_AXIS, None), P(DATA_AXIS), kv_specs, P())
+        out_specs = (P(DATA_AXIS, None), kv_specs)
+        fn = shard_map(prefill, mesh=self.mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_vma=False)
+        return jax.jit(fn, donate_argnums=(3,))
+
     def _build_decode_paged(self):
         from ..models.llama import forward_paged_decode
         from .paged_kv import paged_attention_reference, paged_attention_tpu
         cfg = self.cfg
-        top_k, top_p = self.top_k, self.top_p
-        penalty = self.repeat_penalty
+        top_k_cap = self.top_k
         # the library Pallas kernel needs lane-aligned head_dim (128) and a
         # page_size that tiles; small test models fall back to the reference
         hd = self.hp.head_dim
@@ -202,14 +314,14 @@ class BatchEngine:
             attn = paged_attention_reference
 
         def step(params, tokens, lengths, tables, page_ids, offs, active,
-                 lastn, temps, key, step_i, kpages, vpages):
+                 lastn, temps, topks, topps, rps, key, step_i, kpages, vpages):
             logits, kpages, vpages = forward_paged_decode(
                 params, tokens, lengths, tables, kpages, vpages,
                 page_ids, offs, cfg, paged_attn=attn)
             step_key = jax.random.fold_in(key, step_i)
             nxt = sample_jax(logits[:, -1, :], lastn, step_key,
-                             top_k=top_k, top_p=top_p, temp=temps,
-                             repeat_penalty=penalty)
+                             top_k=top_k_cap, top_p=topps, temp=temps,
+                             repeat_penalty=rps, top_k_v=topks)
             nxt = jnp.where(active, nxt, 0)
             lastn = jnp.where(active[:, None],
                               jnp.concatenate([lastn[:, 1:], nxt[:, None]],
@@ -217,7 +329,7 @@ class BatchEngine:
                               lastn)
             return nxt[:, None], lastn, step_i + 1, kpages, vpages
 
-        return jax.jit(step, donate_argnums=(11, 12))
+        return jax.jit(step, donate_argnums=(14, 15))
 
     def _build_prefill_paged(self):
         from ..models.llama import forward_paged_prefill
@@ -236,6 +348,15 @@ class BatchEngine:
         self._next_rid += 1
         self.pending.put(req)
         return req
+
+    def _req_sampling(self, req: Request) -> tuple[float, int, float, float]:
+        temp = self.temp if req.temp is None else req.temp
+        topk = self.top_k if req.top_k is None else req.top_k
+        topk = max(1, min(topk if topk > 0 else self.top_k, self.top_k))
+        topp = self.top_p if req.top_p is None else req.top_p
+        rp = self.repeat_penalty if req.repeat_penalty is None \
+            else req.repeat_penalty
+        return temp, topk, topp, rp
 
     def _admit(self, slot_idx: int, req: Request) -> bool:
         ids = tokenize(self.vocab, " " + req.prompt, bos=True)
@@ -261,12 +382,12 @@ class BatchEngine:
         req.slot = slot_idx
         req.n_prompt = len(ids)
 
-        # bucketed prefill (single live row in both modes)
+        # bucketed prefill (single live row in every mode)
         t = len(ids)
         bucket = next((b for b in self._buckets if b >= t), self.n_ctx)
-        toks = np.zeros((1, bucket), np.int32)
-        toks[0, :t] = ids
         if self.pager is not None:
+            toks = np.zeros((1, bucket), np.int32)
+            toks[0, :t] = ids
             # fresh slot: prompt-local attention + page writes
             if not self.pager.alloc_for(slot_idx, t):
                 slot.req = None
@@ -283,15 +404,29 @@ class BatchEngine:
                                  jnp.asarray(offs), self.pager.k_pages,
                                  self.pager.v_pages)
             self.pager.lengths[slot_idx] = t
+        elif self.mesh is not None:
+            toks = np.zeros((self.n_slots, bucket), np.int32)
+            toks[slot_idx, :t] = ids
+            row_past = np.full((self.n_slots,), self.n_ctx + 1, np.int32)
+            row_past[slot_idx] = 0
+            all_logits, self.kv = self._prefill_fn(
+                self.params, jnp.asarray(toks), jnp.asarray(row_past),
+                self.kv, jnp.int32(t - 1))
+            logits_for_slot = all_logits[slot_idx:slot_idx + 1]
         else:
+            toks = np.zeros((1, bucket), np.int32)
+            toks[0, :t] = ids
             logits_for_slot, self.kv = self._prefill_fn(
                 self.params, jnp.asarray(toks), jnp.int32(slot_idx), self.kv,
                 jnp.int32(t - 1))
 
         # the slot's sampling state must be fresh BEFORE the first-token
         # sample (a previous occupant's last-n window must not penalize it)
-        req_temp = self.temp if req.temp is None else req.temp
+        req_temp, req_topk, req_topp, req_rp = self._req_sampling(req)
         self.d_temps = self.d_temps.at[slot_idx].set(req_temp)
+        self.d_topk = self.d_topk.at[slot_idx].set(req_topk)
+        self.d_topp = self.d_topp.at[slot_idx].set(req_topp)
+        self.d_rp = self.d_rp.at[slot_idx].set(req_rp)
         self.d_lastn = self.d_lastn.at[slot_idx].set(
             jnp.full((self.last_n_size,), -1, jnp.int32))
         if req_temp <= 0:
@@ -300,8 +435,9 @@ class BatchEngine:
             first = int(np.asarray(sample_jax(
                 logits_for_slot, self.d_lastn[slot_idx:slot_idx + 1],
                 jax.random.fold_in(self._base_key, 100000 + req.rid),
-                top_k=self.top_k, top_p=self.top_p, temp=req_temp,
-                repeat_penalty=self.repeat_penalty)[0]))
+                top_k=self.top_k, top_p=req_topp, temp=req_temp,
+                repeat_penalty=req_rp,
+                top_k_v=jnp.asarray([req_topk], jnp.int32))[0]))
 
         slot.n_past = t
         slot.generated = 1
@@ -330,7 +466,10 @@ class BatchEngine:
                     req.streaming_fn(before.decode("utf-8", "replace"))
             self._finish(slot)
             return
-        if slot.generated >= req.max_tokens or slot.n_past >= self.n_ctx - 1:
+        # the context guard reserves drain_depth positions: steps launched
+        # before the host notices the stop must still write KV in bounds
+        if slot.generated >= req.max_tokens or \
+                slot.n_past >= self.n_ctx - 1 - self.drain_depth:
             slot.buffer.flush_all()
             self._finish(slot)
 
@@ -353,13 +492,8 @@ class BatchEngine:
                     break
                 self._admit(i, req)
 
-    def step(self) -> int:
-        """One engine iteration: admit pending requests, run one batched
-        decode step, drain sampled tokens. Returns number of active slots."""
-        self._fill_idle_slots()
-        if not any(s.req is not None for s in self.slots):
-            return 0
-
+    def _launch(self) -> None:
+        """Dispatch one batched decode step (returns without blocking)."""
         if self.pager is not None:
             sentinel = self.pager.total_pages
             pages = np.full(self.n_slots, sentinel, np.int32)
@@ -380,12 +514,13 @@ class BatchEngine:
                 pages[i], offs[i] = p[0], o[0]
                 lengths[i] = ln
             if not any(s.req is not None for s in self.slots):
-                return 0
+                return
             (self.d_tokens, self.d_lastn, self.d_step,
              self.pager.k_pages, self.pager.v_pages) = self._decode_fn(
                 self.params, self.d_tokens, jnp.asarray(lengths),
                 jnp.asarray(self.pager.page_tables), jnp.asarray(pages),
                 jnp.asarray(offs), self.d_active, self.d_lastn, self.d_temps,
+                self.d_topk, self.d_topp, self.d_rp,
                 self._base_key, self.d_step, self.pager.k_pages,
                 self.pager.v_pages)
             for i, slot in enumerate(self.slots):
@@ -395,16 +530,37 @@ class BatchEngine:
             (self.d_tokens, self.d_npast, self.d_lastn, self.d_step,
              self.kv) = self._decode_fn(
                 self.params, self.d_tokens, self.d_npast, self.d_active,
-                self.d_lastn, self.d_temps, self._base_key, self.d_step,
-                self.kv)
+                self.d_lastn, self.d_temps, self.d_topk, self.d_topp,
+                self.d_rp, self._base_key, self.d_step, self.kv)
+        self._inflight.append(
+            (self.d_tokens,
+             [s.req.rid if s.req is not None else -1 for s in self.slots]))
 
-        toks = np.asarray(self.d_tokens)[:, 0]
+    def _drain_one(self) -> None:
+        """Blockingly read back the oldest in-flight step's tokens and feed
+        them to their requests. Entries are matched by request id: a slot
+        re-admitted since the launch never sees the old occupant's tokens."""
+        d_toks, rids = self._inflight.popleft()
+        toks = np.asarray(d_toks)[:, 0]
         for i, slot in enumerate(self.slots):
-            if slot.req is None:
-                continue
-            slot.n_past += 1
-            slot.generated += 1
-            self._emit_token(slot, int(toks[i]))
+            if slot.req is not None and slot.req.rid == rids[i]:
+                slot.n_past += 1
+                slot.generated += 1
+                self._emit_token(slot, int(toks[i]))
+
+    def step(self) -> int:
+        """One engine iteration: admit pending requests, launch one batched
+        decode step, drain tokens from `drain_depth` steps ago. Returns the
+        number of active slots (host view)."""
+        self._fill_idle_slots()
+        if any(s.req is not None for s in self.slots):
+            self._launch()
+        # while slots are active keep up to drain_depth steps in flight;
+        # once idle, flush everything outstanding
+        target = self.drain_depth if any(s.req is not None
+                                         for s in self.slots) else 0
+        while len(self._inflight) > target:
+            self._drain_one()
         return sum(1 for s in self.slots if s.req is not None)
 
     def run(self, requests: Sequence[Request]) -> list[Request]:
@@ -413,4 +569,5 @@ class BatchEngine:
             self.submit(r)
         while not all(r.done for r in requests):
             self.step()
+        self._inflight.clear()
         return list(requests)

@@ -182,6 +182,72 @@ def test_admit_does_not_inherit_previous_lastn(tiny_model):
     assert reused.text == fresh.text
 
 
+def test_per_request_topk_topp_penalty(tiny_model):
+    """Per-request sampling knobs are honored per slot: top_k=1 and a tiny
+    top_p are both greedy-equivalent regardless of temperature, so two such
+    requests running concurrently inside a hot-temperature engine must both
+    reproduce the plain greedy stream."""
+    ref_eng = make_engine(tiny_model, temp=0.0)
+    ref = Request(prompt="w3 w4", max_tokens=5)
+    ref_eng.run([ref])
+
+    eng = make_engine(tiny_model, n_slots=4, temp=0.9)
+    via_topk = Request(prompt="w3 w4", max_tokens=5, temp=0.9, top_k=1)
+    via_topp = Request(prompt="w3 w4", max_tokens=5, temp=0.9, top_p=1e-6)
+    noise = [Request(prompt=f"w{i}", max_tokens=5) for i in (1, 2)]
+    eng.run([via_topk, via_topp] + noise)
+    assert via_topk.text == ref.text
+    assert via_topp.text == ref.text
+
+
+def test_per_request_repeat_penalty(tiny_model):
+    """Greedy + per-request penalty is deterministic; a penalized request and
+    an unpenalized one must match their single-request counterparts even when
+    they share a batch."""
+    eng_pen = make_engine(tiny_model, temp=0.0, repeat_penalty=1.0)
+    alone = Request(prompt="w1 w2", max_tokens=6, repeat_penalty=1.8)
+    eng_pen.run([alone])
+    eng_plain = make_engine(tiny_model, temp=0.0)
+    plain_alone = Request(prompt="w1 w2", max_tokens=6)
+    eng_plain.run([plain_alone])
+
+    eng = make_engine(tiny_model, n_slots=2, temp=0.0)
+    pen = Request(prompt="w1 w2", max_tokens=6, repeat_penalty=1.8)
+    plain = Request(prompt="w1 w2", max_tokens=6)
+    eng.run([pen, plain])
+    assert pen.text == alone.text
+    assert plain.text == plain_alone.text
+
+
+def test_async_drain_matches_sync(tiny_model):
+    """drain_depth > 0 (pipelined host readback) must not change any stream:
+    greedy outputs at depth 3 equal depth 0, including slot reuse."""
+    outs = {}
+    for depth in (0, 3):
+        eng = make_engine(tiny_model, n_slots=2, temp=0.0,
+                          drain_depth=depth, repeat_penalty=1.2)
+        reqs = [Request(prompt=f"w{i} w{i+1}", max_tokens=5)
+                for i in range(5)]
+        eng.run(reqs)
+        assert all(r.done for r in reqs)
+        outs[depth] = [r.text for r in reqs]
+    assert outs[0] == outs[3]
+
+
+def test_async_drain_stochastic_deterministic(tiny_model):
+    """Sampled decode through the async drain stays seed-deterministic and
+    depth-independent (the PRNG folds the device step counter, which does
+    not depend on when the host reads tokens back)."""
+    outs = {}
+    for depth in (0, 2):
+        eng = make_engine(tiny_model, temp=0.8, drain_depth=depth,
+                          sampling_seed=5)
+        reqs = [Request(prompt="w2 w3", max_tokens=6)]
+        eng.run(reqs)
+        outs[depth] = reqs[0].text
+    assert outs[0] == outs[2]
+
+
 def test_max_tokens_respected(tiny_model):
     eng = make_engine(tiny_model, temp=0.9)
     req = Request(prompt="w1", max_tokens=3)

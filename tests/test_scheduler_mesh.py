@@ -1,0 +1,97 @@
+"""Sharded continuous batching on the virtual mesh (BASELINE configs #4/#5).
+
+The BatchEngine with rcfg.mesh_shape=(dp, tp) runs its decode and prefill
+steps under shard_map; greedy streams must match the single-device engine.
+The 30B-dims case exercises every real per-layer shape (layer count
+truncated for wall time) — the configuration that physically cannot run
+single-chip (19.5 GB of q4 weights vs 16 GB HBM).
+"""
+import numpy as np
+import pytest
+
+from fastllama_tpu.config import HyperParams, RuntimeConfig
+from fastllama_tpu.engine.scheduler import BatchEngine, Request
+
+from test_session import tiny_vocab
+from test_sharding import HP, build_params
+
+
+def make_rcfg(mesh_shape=()):
+    return RuntimeConfig(kv_dtype="float32", weight_dtype="float32",
+                         use_pallas=False, prefill_buckets=(8, 16, 32),
+                         mesh_shape=mesh_shape)
+
+
+@pytest.fixture(scope="module")
+def shardable_model():
+    rng = np.random.default_rng(3)
+    return build_params(quantized=True, rng=rng), tiny_vocab(HP.n_vocab)
+
+
+def _run_greedy(params, vocab, mesh_shape, prompts, n_slots=4, **kw):
+    eng = BatchEngine(HP, params, vocab, n_slots=n_slots, n_ctx=32,
+                      rcfg=make_rcfg(mesh_shape), temp=0.0, **kw)
+    reqs = [Request(prompt=p, max_tokens=4) for p in prompts]
+    eng.run(reqs)
+    return [r.text for r in reqs]
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 4), (2, 2), (1, 8)])
+def test_mesh_engine_matches_single_device(shardable_model, mesh_shape):
+    params, vocab = shardable_model
+    prompts = ["w3 w4 w5", "w1 w2", "w7", "w2 w6 w8"]
+    ref = _run_greedy(params, vocab, (), prompts)
+    out = _run_greedy(params, vocab, mesh_shape, prompts)
+    assert out == ref
+
+
+def test_mesh_engine_queueing_and_reuse(shardable_model):
+    """More requests than slots through a dp=2 x tp=2 mesh: slot reuse and
+    admission into a sharded slab."""
+    params, vocab = shardable_model
+    prompts = [f"w{i} w{i+1}" for i in range(6)]
+    ref = _run_greedy(params, vocab, (), prompts, n_slots=2)
+    out = _run_greedy(params, vocab, (2, 2), prompts, n_slots=2)
+    assert out == ref
+
+
+def test_mesh_engine_async_drain(shardable_model):
+    params, vocab = shardable_model
+    prompts = ["w3 w4", "w5 w6"]
+    ref = _run_greedy(params, vocab, (), prompts)
+    out = _run_greedy(params, vocab, (1, 4), prompts, drain_depth=2)
+    assert out == ref
+
+
+def test_mesh_engine_rejects_paged(shardable_model):
+    params, vocab = shardable_model
+    with pytest.raises(NotImplementedError):
+        BatchEngine(HP, params, vocab, n_slots=4, n_ctx=32,
+                    rcfg=make_rcfg((1, 4)), kv_mode="paged")
+
+
+def test_30b_dims_engine_runs_sharded():
+    """30B per-layer shapes (n_embd=6656, n_ff=17920, 52 heads) through
+    BatchEngine.run() at tp=4: the memory-capacity configuration from
+    BASELINE #4. Greedy tokens must match the single-device engine on the
+    same weights."""
+    from __graft_entry__ import _build_model
+
+    hp = HyperParams(n_vocab=32000, n_embd=6656, n_head=52, n_layer=2,
+                     n_rot=128)
+    params = _build_model(hp, n_ff=17920, dtype_scale=0.01)
+    vocab = tiny_vocab(1024)  # engine only tokenizes; ids stay < n_vocab
+
+    rcfg_single = RuntimeConfig(use_pallas=False, prefill_buckets=(8,))
+    rcfg_mesh = RuntimeConfig(use_pallas=False, prefill_buckets=(8,),
+                              mesh_shape=(1, 4))
+
+    def run(rcfg):
+        eng = BatchEngine(hp, params, vocab, n_slots=2, n_ctx=16,
+                          rcfg=rcfg, temp=0.0)
+        req = Request(prompt="w3 w4", max_tokens=3)
+        eng.run([req])
+        assert req.done
+        return req.tokens_out
+
+    assert run(rcfg_mesh) == run(rcfg_single)
