@@ -21,6 +21,8 @@ through Model.eval before using the logits.
 from __future__ import annotations
 
 import json
+import signal
+import threading
 from collections import deque
 from typing import Callable, Optional, Sequence
 
@@ -171,7 +173,14 @@ class FastLlama:
                  temp: float = 0.8,
                  repeat_penalty: float = 1.0,
                  stop_words: Sequence[str] = ()) -> bool:
-        """Generate up to num_tokens, streaming text (bridge.cpp:240-312)."""
+        """Generate up to num_tokens, streaming text (bridge.cpp:240-312).
+
+        Ctrl-C mid-generation stops cleanly at the next token boundary and
+        leaves the session fully resumable — the reference routes SIGINT
+        into the library the same way (interfaces/python/fastllama.py:238-242,
+        interfaces/c/main.cpp:229-232). The previous handler is restored on
+        exit; `self.interrupted` reports whether the last generate() was cut
+        short."""
         self.logger.reset()
         if not self.model.is_valid:
             self.logger.log_err("generate", "tried to generate using invalid model\n")
@@ -187,30 +196,49 @@ class FastLlama:
         params = SamplingParams(top_k=top_k, top_p=top_p, temp=temp,
                                 repeat_penalty=repeat_penalty)
 
-        for _ in range(num_tokens):
-            found, before, after = token_buffer.scan_stop_words(stop_bytes)
-            if found:
-                if before:
-                    streaming_fn(before.decode("utf-8", errors="replace"))
-                self._token_buffer_state = token_buffer.get_partial_state()
-                self._token_buffer_state.left_out = after
-                return True
+        self.interrupted = False
+        prev_handler = None
 
-            self._recycle_if_exceeds_context()
-            if not self._flush_embd():
-                return False
+        def _on_sigint(signum, frame):
+            del signum, frame
+            self.interrupted = True
 
-            token_id = sample_host(self._last_logits_row(), self._last_n,
-                                   params, self._rng)
-            if token_id == self.EOS:
-                break
-            self._last_n.append(token_id)
-            token_buffer.add(token_id)
-            self._embd.append(token_id)
+        # signal handlers can only be installed from the main thread; in a
+        # worker thread (e.g. the websocket server) generation is stopped by
+        # the caller instead.
+        in_main = threading.current_thread() is threading.main_thread()
+        if in_main:
+            prev_handler = signal.signal(signal.SIGINT, _on_sigint)
+        try:
+            for _ in range(num_tokens):
+                found, before, after = token_buffer.scan_stop_words(stop_bytes)
+                if found:
+                    if before:
+                        streaming_fn(before.decode("utf-8", errors="replace"))
+                    self._token_buffer_state = token_buffer.get_partial_state()
+                    self._token_buffer_state.left_out = after
+                    return True
+                if self.interrupted:
+                    break
 
-        token_buffer.flush_all()
-        self._token_buffer_state = token_buffer.get_partial_state()
-        return True
+                self._recycle_if_exceeds_context()
+                if not self._flush_embd():
+                    return False
+
+                token_id = sample_host(self._last_logits_row(), self._last_n,
+                                       params, self._rng)
+                if token_id == self.EOS:
+                    break
+                self._last_n.append(token_id)
+                token_buffer.add(token_id)
+                self._embd.append(token_id)
+
+            token_buffer.flush_all()
+            self._token_buffer_state = token_buffer.get_partial_state()
+            return True
+        finally:
+            if in_main and prev_handler is not None:
+                signal.signal(signal.SIGINT, prev_handler)
 
     def _last_logits_row(self) -> np.ndarray:
         if self._logits is None:

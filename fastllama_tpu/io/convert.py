@@ -156,23 +156,67 @@ def convert_ggml(src: str, dst: str, ftype: FType = FType.MOSTLY_Q4_0,
     logger.log("convert", f"wrote {dst}\n")
 
 
-def _load_hf_tensors(hf_dir: Path):
-    """Load all tensors from an HF LLaMA directory (safetensors preferred)."""
-    st_files = sorted(hf_dir.glob("*.safetensors"))
-    tensors = {}
-    if st_files:
-        from safetensors import safe_open
-        for p in st_files:
-            with safe_open(str(p), framework="numpy") as f:
-                for k in f.keys():
-                    tensors[k] = f.get_tensor(k)
-    else:
+class _LazyHFTensors:
+    """Lazy per-tensor view of an HF LLaMA directory.
+
+    The reference converter is a lazy loader (scripts/convert.py:662-723) so
+    a 65B f16 checkpoint (~130 GB) never has to fit in host RAM; this mirrors
+    that contract. safetensors shards are opened once and individual tensors
+    materialized on access; torch .bin shards are opened with mmap=True where
+    the format allows (zipfile checkpoints), falling back to one eagerly
+    loaded shard at a time. Peak RSS stays O(largest tensor) for safetensors
+    and O(one shard, OS-evictable) for mmap'd bins.
+    """
+
+    def __init__(self, hf_dir: Path):
+        self._loaders: dict[str, object] = {}
+        st_files = sorted(hf_dir.glob("*.safetensors"))
+        if st_files:
+            from safetensors import safe_open
+            self._handles = [safe_open(str(p), framework="numpy")
+                             for p in st_files]
+            for h in self._handles:
+                for k in h.keys():
+                    self._loaders[k] = (lambda h=h, k=k:
+                                        np.asarray(h.get_tensor(k)))
+            return
         import torch
         for p in sorted(hf_dir.glob("pytorch_model*.bin")):
-            sd = torch.load(str(p), map_location="cpu", weights_only=True)
+            try:
+                sd = torch.load(str(p), map_location="cpu",
+                                weights_only=True, mmap=True)
+            except (TypeError, RuntimeError):
+                # legacy (non-zip) checkpoints cannot mmap; eager per shard
+                sd = torch.load(str(p), map_location="cpu", weights_only=True)
             for k, v in sd.items():
-                tensors[k] = v.to(torch.float32).numpy()
-    return tensors
+                self._loaders[k] = (lambda v=v:
+                                    v.to(torch.float32).numpy())
+
+    def __contains__(self, k):
+        return k in self._loaders
+
+    def __iter__(self):
+        return iter(self._loaders)
+
+    def __len__(self):
+        return len(self._loaders)
+
+    def __getitem__(self, k):
+        return self._loaders[k]()
+
+    def keys(self):
+        return self._loaders.keys()
+
+    def items(self):
+        """Generator of (name, tensor) — materializes one tensor at a time."""
+        for k in self._loaders:
+            yield k, self._loaders[k]()
+
+
+def _load_hf_tensors(hf_dir: Path) -> _LazyHFTensors:
+    """Lazy tensor mapping over an HF LLaMA directory (safetensors preferred).
+    Tensors are read from disk only when indexed — never all at once."""
+    return _LazyHFTensors(hf_dir)
 
 
 def _piece_to_bytes(piece: str) -> bytes:
@@ -316,14 +360,15 @@ def convert_hf(hf_dir: str, dst: str, ftype: FType = FType.MOSTLY_Q4_0,
             writer.add_q41_matmul(ggml_name, codes, d, m)
             done += 1
             logger.progress(ProgressTag.QUANTIZE, done, total)
-        # remaining unquantized tensors (norms, embeddings, lm head)
-        for hf_name, w in tensors.items():
+        # remaining unquantized tensors (norms, embeddings, lm head) —
+        # name-filter first so only needed tensors are ever materialized
+        for hf_name in tensors:
             if not hf_name.endswith(".weight"):
                 continue
             ggml_name = hf_to_ggml_name(hf_name)
             if ggml_name is None or ggml_name in writer.tensors:
                 continue
-            w = np.asarray(w, np.float32)
+            w = np.asarray(tensors[hf_name], np.float32)
             if ggml_name.endswith("attention.wq.weight") or \
                     ggml_name.endswith("attention.wk.weight"):
                 w = permute_qk(w, n_head)

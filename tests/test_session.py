@@ -218,3 +218,33 @@ def test_get_embeddings(tiny_model):
     emb = s.get_embeddings()
     assert emb.shape == (tiny_model.hp.n_embd,)
     assert np.isfinite(emb).all()
+
+
+def test_sigint_stops_generation_cleanly(tiny_model):
+    """Ctrl-C mid-generate stops at the next token and leaves the session
+    resumable (reference: interfaces/python/fastllama.py:238-242)."""
+    import os
+    import signal
+
+    s = fresh_session(tiny_model)
+    assert s.ingest(" w1 w2")
+
+    chunks = []
+
+    def stream_and_interrupt(text):
+        chunks.append(text)
+        if len(chunks) == 2:
+            os.kill(os.getpid(), signal.SIGINT)
+
+    assert s.generate(stream_and_interrupt, num_tokens=20, temp=0.0)
+    assert s.interrupted
+    n_first = len(chunks)
+    assert n_first < 20
+
+    # the handler was restored and the session keeps working
+    assert signal.getsignal(signal.SIGINT) is signal.default_int_handler \
+        or callable(signal.getsignal(signal.SIGINT))
+    more = []
+    assert s.generate(more.append, num_tokens=3, temp=0.0)
+    assert not s.interrupted
+    assert len(more) >= 1
