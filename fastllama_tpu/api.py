@@ -52,9 +52,21 @@ class Model:
                  weight_dtype: str = "bfloat16",
                  use_pallas: Optional[bool] = None,
                  mesh_shape: tuple = ()):
-        del num_threads, use_mmap, use_mlock, n_load_parallel_blocks
-        del load_parallel, allocate_extra_mem
         self.logger = logger or DefaultLogger()
+        # Thread/parallel-load knobs are meaningless under XLA (it owns
+        # scheduling) — silently accepted like the reference ignores
+        # n_load_parallel_blocks on mmap'd files. Memory-mode knobs change
+        # behavior the user can observe, so asking for them warns.
+        if use_mmap or use_mlock:
+            self.logger.log_warn(
+                "Model", "use_mmap/use_mlock have no device analog on TPU: "
+                "weights are device-resident HBM buffers (host-side reads "
+                "already go through np.memmap); flags ignored\n")
+        if allocate_extra_mem:
+            self.logger.log_warn(
+                "Model", "allocate_extra_mem is ignored: XLA owns device "
+                "allocation\n")
+        del num_threads, n_load_parallel_blocks, load_parallel
         rcfg = RuntimeConfig(
             n_ctx=n_ctx, n_batch=n_batch, n_keep=tokens_to_keep,
             last_n_size=last_n_size, seed=seed,
