@@ -122,7 +122,8 @@ class BatchEngine:
         self.mesh = None
         self.dp = self.tp = 1
         if rcfg.mesh_shape and int(np.prod(rcfg.mesh_shape)) > 1:
-            from ..parallel.sharding import make_mesh, shard_params
+            from ..parallel.multihost import hybrid_mesh
+            from ..parallel.sharding import shard_params
             dp, tp = (rcfg.mesh_shape if len(rcfg.mesh_shape) == 2
                       else (1, rcfg.mesh_shape[0]))
             if kv_mode == "paged":
@@ -133,7 +134,8 @@ class BatchEngine:
                 raise ValueError(f"n_slots={n_slots} not divisible by dp={dp}")
             if hp.n_head % tp:
                 raise ValueError(f"n_head={hp.n_head} not divisible by tp={tp}")
-            self.mesh = make_mesh(n_data=dp, n_model=tp)
+            # DCN-aware when spanning hosts; plain mesh single-process
+            self.mesh = hybrid_mesh(dp=dp, tp=tp)
             self.dp, self.tp = dp, tp
             params = shard_params(params, self.mesh)
             logger.log("BatchEngine", f"sharded over mesh dp={dp} tp={tp}\n")
@@ -216,7 +218,17 @@ class BatchEngine:
                                               axis=1),
                               lastn)
             n_past = jnp.where(active, n_past + 1, n_past)
-            return nxt[:, None], n_past, lastn, step_i + 1, kv
+            tok_out = nxt[:, None]
+            if dp_axis is not None:
+                # Replicate the sampled tokens across the data axis (a [B]
+                # int32 all-gather — trivial bytes, rides ICI or DCN). This
+                # is the multi-host contract: every controller process sees
+                # every token, so all hosts make identical stop/admit
+                # decisions and the host drain never touches a
+                # non-addressable shard (parallel/multihost.py).
+                tok_out = jax.lax.all_gather(nxt, dp_axis, axis=0,
+                                             tiled=True)[:, None]
+            return tok_out, n_past, lastn, step_i + 1, kv
 
         return step
 
@@ -239,7 +251,8 @@ class BatchEngine:
         pd2 = P(DATA_AXIS, None)
         in_specs = (pspecs, pd2, pd, pd, pd2, pd, pd, pd, pd, P(), P(),
                     kv_specs)
-        out_specs = (pd2, pd, pd2, P(), kv_specs)
+        # tokens out replicated (all-gathered over dp inside the step)
+        out_specs = (P(None, None), pd, pd2, P(), kv_specs)
         fn = shard_map(step, mesh=self.mesh, in_specs=in_specs,
                        out_specs=out_specs, check_vma=False)
         return jax.jit(fn, donate_argnums=(11,))
@@ -248,7 +261,7 @@ class BatchEngine:
         """Single-row prefill: run the prompt through a fresh [1, n_ctx]
         cache, then splice that row into the batched slab at `slot` — the
         prompt costs 1/n_slots of a full-batch forward."""
-        cfg = self.cfg
+        cfg = dataclasses.replace(self.cfg, flash_prefill=True)
         n_ctx = self.n_ctx
         hp = self.hp
         kv_dtype = jnp.dtype(self.kv[0][0].dtype) if self.kv else None
@@ -280,7 +293,8 @@ class BatchEngine:
             DATA_AXIS, KV_SPEC, MODEL_AXIS, params_pspec_tree,
         )
         local_cfg = dataclasses.replace(
-            self.cfg, n_head=self.hp.n_head // self.tp, tp_axis=MODEL_AXIS)
+            self.cfg, n_head=self.hp.n_head // self.tp, tp_axis=MODEL_AXIS,
+            flash_prefill=True)
 
         def prefill(params, tokens, row_past, kv, last_idx):
             logits, kv, _ = forward(params, tokens, row_past, kv, local_cfg,
@@ -333,7 +347,7 @@ class BatchEngine:
 
     def _build_prefill_paged(self):
         from ..models.llama import forward_paged_prefill
-        cfg = self.cfg
+        cfg = dataclasses.replace(self.cfg, flash_prefill=True)
 
         def prefill(params, tokens, last_idx, page_ids, offs, kpages, vpages):
             return forward_paged_prefill(params, tokens, last_idx, page_ids,
@@ -429,25 +443,30 @@ class BatchEngine:
         self.d_rp = self.d_rp.at[slot_idx].set(req_rp)
         self.d_lastn = self.d_lastn.at[slot_idx].set(
             jnp.full((self.last_n_size,), -1, jnp.int32))
-        if req_temp <= 0:
-            first = int(np.asarray(jnp.argmax(logits_for_slot[0])))
-        else:
-            first = int(np.asarray(sample_jax(
-                logits_for_slot, self.d_lastn[slot_idx:slot_idx + 1],
-                jax.random.fold_in(self._base_key, 100000 + req.rid),
-                top_k=self.top_k, top_p=req_topp, temp=req_temp,
-                repeat_penalty=req_rp,
-                top_k_v=jnp.asarray([req_topk], jnp.int32))[0]))
 
-        slot.n_past = t
-        slot.generated = 1
-        self._emit_token(slot, first)
+        # First token sampled ON DEVICE — admission costs zero host
+        # round-trips (a blocking readback is ~27 ms over the TPU tunnel).
+        # The token's text reaches the host with the next drain: the entry
+        # below carries this slot's rid only.
+        first = sample_jax(
+            logits_for_slot, self.d_lastn[slot_idx:slot_idx + 1],
+            jax.random.fold_in(self._base_key, 100000 + req.rid),
+            top_k=self.top_k, top_p=req_topp, temp=req_temp,
+            repeat_penalty=req_rp,
+            top_k_v=jnp.asarray([req_topk], jnp.int32))[0]
+
+        # host counters start one behind: the first-token drain advances them
+        slot.n_past = t - 1
+        slot.generated = 0
 
         # update device state for this row
         self.d_tokens = self.d_tokens.at[slot_idx, 0].set(first)
         self.d_npast = self.d_npast.at[slot_idx].set(t)
         self.d_active = self.d_active.at[slot_idx].set(True)
         self.d_lastn = self.d_lastn.at[slot_idx, -1].set(first)
+        rids = [-1] * self.n_slots
+        rids[slot_idx] = req.rid
+        self._inflight.append((self.d_tokens, rids))
         return True
 
     def _emit_token(self, slot: _Slot, token: int) -> None:
@@ -466,10 +485,11 @@ class BatchEngine:
                     req.streaming_fn(before.decode("utf-8", "replace"))
             self._finish(slot)
             return
-        # the context guard reserves drain_depth positions: steps launched
-        # before the host notices the stop must still write KV in bounds
+        # the context guard reserves the max drain lag (2*depth banked steps
+        # + the one being launched): steps launched before the host notices
+        # the stop must still write KV in bounds
         if slot.generated >= req.max_tokens or \
-                slot.n_past >= self.n_ctx - 1 - self.drain_depth:
+                slot.n_past >= self.n_ctx - 2 - 2 * self.drain_depth:
             slot.buffer.flush_all()
             self._finish(slot)
 
@@ -536,31 +556,43 @@ class BatchEngine:
             (self.d_tokens,
              [s.req.rid if s.req is not None else -1 for s in self.slots]))
 
-    def _drain_one(self) -> None:
-        """Blockingly read back the oldest in-flight step's tokens and feed
-        them to their requests. Entries are matched by request id: a slot
-        re-admitted since the launch never sees the old occupant's tokens."""
-        d_toks, rids = self._inflight.popleft()
-        toks = np.asarray(d_toks)[:, 0]
-        for i, slot in enumerate(self.slots):
-            if slot.req is not None and slot.req.rid == rids[i]:
-                slot.n_past += 1
-                slot.generated += 1
-                self._emit_token(slot, int(toks[i]))
+    def _drain(self, count: int) -> None:
+        """Read back the `count` oldest in-flight steps' tokens in ONE
+        device->host transfer and feed them to their requests, oldest first.
+        A blocking readback costs a fixed ~27 ms round-trip on the TPU
+        tunnel, so batching k steps amortizes it k-fold; the transfer also
+        overlaps with whatever steps are still queued on the device.
+        Entries are matched by request id: a slot re-admitted since the
+        launch never sees the old occupant's tokens."""
+        entries = [self._inflight.popleft() for _ in range(count)]
+        if count == 1:
+            toks = np.asarray(entries[0][0])               # [B, 1]
+        else:
+            toks = np.asarray(jnp.concatenate(
+                [e[0] for e in entries], axis=1))          # [B, count]
+        for j, (_, rids) in enumerate(entries):
+            for i, slot in enumerate(self.slots):
+                if slot.req is not None and slot.req.rid == rids[i]:
+                    slot.n_past += 1
+                    slot.generated += 1
+                    self._emit_token(slot, int(toks[i, j]))
 
     def step(self) -> int:
         """One engine iteration: admit pending requests, launch one batched
-        decode step, drain tokens from `drain_depth` steps ago. Returns the
-        number of active slots (host view)."""
+        decode step, drain once enough steps are banked. Returns the number
+        of active slots (host view)."""
         self._fill_idle_slots()
-        if any(s.req is not None for s in self.slots):
+        have_active = any(s.req is not None for s in self.slots)
+        if have_active:
             self._launch()
-        # while slots are active keep up to drain_depth steps in flight;
-        # once idle, flush everything outstanding
-        target = self.drain_depth if any(s.req is not None
-                                         for s in self.slots) else 0
-        while len(self._inflight) > target:
-            self._drain_one()
+        # hysteresis: let up to 2*depth steps bank, then drain `depth` of
+        # them in one readback — the device keeps computing the newer steps
+        # while the transfer is in flight. Once idle, flush everything.
+        if not any(s.req is not None for s in self.slots):
+            if self._inflight:
+                self._drain(len(self._inflight))
+        elif len(self._inflight) >= max(2 * self.drain_depth, 1):
+            self._drain(max(self.drain_depth, 1))
         return sum(1 for s in self.slots if s.req is not None)
 
     def run(self, requests: Sequence[Request]) -> list[Request]:

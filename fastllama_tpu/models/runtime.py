@@ -45,8 +45,12 @@ class LlamaModel:
 
         base = dict(n_head=hp.n_head, n_rot=hp.n_rot,
                     w_dtype=rcfg.weight_dtype, use_pallas=rcfg.use_pallas)
-        self._cfg_last = ForwardConfig(all_logits=False, **base)
-        self._cfg_all = ForwardConfig(all_logits=True, **base)
+        # one static config per (all_logits, flash_prefill) combination;
+        # flash variants only ever run with n_past == 0 (eval dispatches)
+        self._cfg = {
+            (al, fl): ForwardConfig(all_logits=al, flash_prefill=fl, **base)
+            for al in (False, True) for fl in (False, True)
+        }
 
         self._buckets = sorted({min(b, rcfg.n_ctx)
                                 for b in rcfg.prefill_buckets} | {1, rcfg.n_ctx})
@@ -69,9 +73,6 @@ class LlamaModel:
             self.mesh = make_mesh(n_data=n_data, n_model=n_model)
             self.params = shard_params(self.params, self.mesh)
             self.kv = shard_kv(self.kv, self.mesh)
-            for cfg in (self._cfg_last, self._cfg_all):
-                self._sharded_fwd[cfg] = make_sharded_forward(
-                    self.mesh, self.params, cfg)
             logger.log("Model", f"sharded over mesh dp={n_data} tp={n_model}\n")
 
     # -- eval ---------------------------------------------------------------
@@ -104,9 +105,9 @@ class LlamaModel:
         buf = np.zeros((1, b), np.int32)
         buf[0, :t] = np.asarray(tokens, np.int32)
 
-        cfg = self._cfg_all if all_logits else self._cfg_last
+        cfg = self._cfg[(all_logits, n_past == 0 and t > 1)]
         if self.mesh is not None:
-            logits, self.kv, self._embeddings = self._sharded_fwd[cfg](
+            logits, self.kv, self._embeddings = self._get_sharded(cfg)(
                 self.params, jnp.asarray(buf), jnp.int32(n_past),
                 self.kv, jnp.int32(t - 1))
         else:
@@ -117,6 +118,14 @@ class LlamaModel:
 
         out = np.asarray(logits[0])
         return out[:t] if all_logits else out[-1]
+
+    def _get_sharded(self, cfg: ForwardConfig):
+        """Lazily built+cached shard_map forward per static config."""
+        if cfg not in self._sharded_fwd:
+            from ..parallel.sharding import make_sharded_forward
+            self._sharded_fwd[cfg] = make_sharded_forward(
+                self.mesh, self.params, cfg)
+        return self._sharded_fwd[cfg]
 
     def get_embeddings(self) -> np.ndarray:
         """Final-norm hidden state of the last evaluated token
@@ -268,11 +277,9 @@ class LlamaModel:
         forwards rebuilt for the new structure."""
         if self.mesh is None:
             return
-        from ..parallel.sharding import make_sharded_forward, shard_params
+        from ..parallel.sharding import shard_params
         self.params = shard_params(self.params, self.mesh)
-        for cfg in (self._cfg_last, self._cfg_all):
-            self._sharded_fwd[cfg] = make_sharded_forward(
-                self.mesh, self.params, cfg)
+        self._sharded_fwd.clear()    # rebuilt lazily for the new tree
 
     @property
     def lora_path(self) -> str | None:

@@ -1,0 +1,100 @@
+"""Wall-clock continuous-batching throughput on real TPU.
+
+Measures BatchEngine.run() end to end — admission, device steps, batched
+async token drain, detokenization — against the pure device-step rate, on
+random 7B-dim q4_0 weights. The VERDICT round-1 criterion: wall-clock within
+~10% of device-step throughput despite the ~27 ms tunnel readback.
+
+Usage: python tools/bench_engine.py [--slots 8] [--layers 32] [--steps 96]
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--slots", type=int, default=8)
+    ap.add_argument("--layers", type=int, default=32)
+    ap.add_argument("--n-ctx", type=int, default=512)
+    ap.add_argument("--max-tokens", type=int, default=64)
+    ap.add_argument("--drain-depth", type=int, default=4)
+    ap.add_argument("--kv-mode", default="slab")
+    args = ap.parse_args()
+
+    import jax
+    from fastllama_tpu.config import HyperParams, RuntimeConfig
+    from fastllama_tpu.engine.scheduler import BatchEngine, Request
+    from fastllama_tpu.engine.tokenizer import Vocab
+    from __graft_entry__ import _build_model
+
+    print("devices:", jax.devices(), flush=True)
+    hp = HyperParams(n_vocab=32000, n_embd=4096, n_head=32,
+                     n_layer=args.layers, n_rot=128)
+    t0 = time.time()
+    params = _build_model(hp, n_ff=11008)
+    print(f"built 7B-dim q4_0 weights ({args.layers} layers) in "
+          f"{time.time() - t0:.1f}s", flush=True)
+
+    toks = [(b"<unk>", 0.0), (b"<s>", 0.0), (b"</s>", 0.0)]
+    toks += [(bytes([i]), -1e6) for i in range(256)]
+    toks += [(f" w{i}".encode(), 1.0) for i in range(741)]
+    vocab = Vocab.from_tokens(toks)
+
+    rcfg = RuntimeConfig(prefill_buckets=(16,))
+    eng = BatchEngine(hp, params, vocab, n_slots=args.slots,
+                      n_ctx=args.n_ctx, rcfg=rcfg, temp=0.8,
+                      kv_mode=args.kv_mode,
+                      drain_depth=args.drain_depth, sampling_seed=0)
+
+    # warm: compile prefill + decode
+    t0 = time.time()
+    warm = [Request(prompt="w1 w2 w3", max_tokens=4)
+            for _ in range(args.slots)]
+    eng.run(warm)
+    print(f"warmup (compile) {time.time() - t0:.1f}s", flush=True)
+
+    reqs = [Request(prompt=f"w{i % 7} w{i % 11} w{i % 5}",
+                    max_tokens=args.max_tokens)
+            for i in range(args.slots)]
+    t0 = time.perf_counter()
+    eng.run(reqs)
+    wall = time.perf_counter() - t0
+    n_tok = sum(len(r.tokens_out) for r in reqs)
+    wall_tps = n_tok / wall
+
+    # device-step rate: launch N steps back-to-back, one readback at the end
+    eng2 = BatchEngine(hp, params, vocab, n_slots=args.slots,
+                       n_ctx=args.n_ctx, rcfg=rcfg, temp=0.8,
+                       kv_mode=args.kv_mode, drain_depth=10 ** 6,
+                       sampling_seed=0)
+    reqs2 = [Request(prompt=f"w{i % 7} w{i % 11}", max_tokens=10 ** 6)
+             for i in range(args.slots)]
+    for r in reqs2:
+        eng2.submit(r)
+    eng2._fill_idle_slots()
+    n_steps = 96
+    _ = np.asarray(eng2.d_tokens)  # sync after prefill
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        eng2._launch()
+    _ = np.asarray(eng2.d_tokens)
+    dev = time.perf_counter() - t0
+    dev_tps = n_steps * args.slots / dev
+
+    print(f"wall-clock: {n_tok} tokens in {wall:.3f}s = {wall_tps:.1f} tok/s "
+          f"({args.slots} slots)")
+    print(f"device-step rate: {n_steps} steps in {dev:.3f}s = "
+          f"{dev_tps:.1f} tok/s aggregate")
+    print(f"wall/device efficiency: {100 * wall_tps / dev_tps:.1f}%")
+
+
+if __name__ == "__main__":
+    main()
