@@ -267,15 +267,16 @@ class BatchEngine:
         kv_dtype = jnp.dtype(self.kv[0][0].dtype) if self.kv else None
 
         def prefill(params, tokens, slot, kv, last_idx):
-            tmp = [(jnp.zeros((1, n_ctx, hp.n_head, hp.head_dim), kv_dtype),
-                    jnp.zeros((1, n_ctx, hp.n_head, hp.head_dim), kv_dtype))
+            f = hp.n_head * hp.head_dim
+            tmp = [(jnp.zeros((1, n_ctx, f), kv_dtype),
+                    jnp.zeros((1, n_ctx, f), kv_dtype))
                    for _ in range(hp.n_layer)]
             logits, tmp, _ = forward(params, tokens, jnp.int32(0), tmp, cfg,
                                      last_idx)
             new_kv = []
             for (k_all, v_all), (k1, v1) in zip(kv, tmp):
-                k_all = jax.lax.dynamic_update_slice(k_all, k1, (slot, 0, 0, 0))
-                v_all = jax.lax.dynamic_update_slice(v_all, v1, (slot, 0, 0, 0))
+                k_all = jax.lax.dynamic_update_slice(k_all, k1, (slot, 0, 0))
+                v_all = jax.lax.dynamic_update_slice(v_all, v1, (slot, 0, 0))
                 new_kv.append((k_all, v_all))
             return logits[:, -1, :], new_kv
 

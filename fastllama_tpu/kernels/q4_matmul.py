@@ -41,7 +41,7 @@ def _dot_precision(w_dtype):
     return jax.lax.Precision.HIGHEST if jnp.dtype(w_dtype) == jnp.float32 else None
 
 
-def _pick_tile(dim: int, cap: int = 512, unit: int = 128) -> int:
+def _pick_tile(dim: int, cap: int = 1024, unit: int = 128) -> int:
     """Largest divisor of dim that is a multiple of `unit` and <= cap.
     Falls back to the dim itself (small matrices in tests)."""
     best = 0
@@ -334,6 +334,20 @@ def q4_matmul_xla(x: jax.Array, w: QuantMatmulWeight,
 _PALLAS_MAX_M = 64
 
 
+def _k_split_point(k: int) -> int | None:
+    """For K with no large 256-multiple tile divisor (e.g. 7B's n_ff=11008,
+    whose best divisor is 256 — 43 sequential micro-steps ran the w2 matmul
+    at ~257 GB/s vs ~430+ with bk=2816), split the reduction into two kernel
+    calls at a 2816-multiple boundary so both parts get big K tiles. Returns
+    the split point, or None when a single call already tiles well."""
+    if _pick_tile_k(k) >= 1024 or k <= 2816:
+        return None
+    k0 = (k // 2816) * 2816
+    if k0 == 0 or k == k0:
+        return None
+    return k0
+
+
 def pallas_shapes_supported(k: int, n: int) -> bool:
     """Mosaic requires the last two block dims to be (8, 128)-divisible or
     equal to the full array dims. Small/unaligned models (tests, exotic
@@ -386,12 +400,25 @@ def q4_matmul(x: jax.Array, w: QuantMatmulWeight, *,
         m_pad = max(8, -(-m // 8) * 8)
         if m_pad != m:
             x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
-        if w.mins is None:
-            y = q4_matmul_pallas(x2, w.qs, w.scales, interpret=interpret,
-                                 w_dtype=w_dtype)[:m]
+
+        def run(xp, qs, scales, mins):
+            if mins is None:
+                return q4_matmul_pallas(xp, qs, scales, interpret=interpret,
+                                        w_dtype=w_dtype)
+            return q41_matmul_pallas(xp, qs, scales, mins,
+                                     interpret=interpret, w_dtype=w_dtype)
+
+        k0 = _k_split_point(k_stored)
+        if k0 is not None:
+            # split-K packing slices cleanly at 32-block boundaries: qs row
+            # k0/2 and scale row k0/32 both start a fresh block
+            y = run(x2[:, :k0], w.qs[: k0 // 2], w.scales[: k0 // QBLOCK],
+                    None if w.mins is None else w.mins[: k0 // QBLOCK])
+            y += run(x2[:, k0:], w.qs[k0 // 2:], w.scales[k0 // QBLOCK:],
+                     None if w.mins is None else w.mins[k0 // QBLOCK:])
+            y = y[:m]
         else:
-            y = q41_matmul_pallas(x2, w.qs, w.scales, w.mins,
-                                  interpret=interpret, w_dtype=w_dtype)[:m]
+            y = run(x2, w.qs, w.scales, w.mins)[:m]
     else:
         y = q4_matmul_xla(x2, w, w_dtype=w_dtype)
     if y.shape[-1] != n_eff:

@@ -20,7 +20,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..quant.tensor import (
-    QBLOCK, QuantMatmulWeight, pack_codes_split_k, pad_multiple,
+    QBLOCK, QuantMatmulWeight, good_pad_k, pack_codes_split_k, pad_multiple,
 )
 
 
@@ -46,12 +46,13 @@ def w13_col_order(n_ff: int) -> np.ndarray:
 
 
 def _pad_packed(qs: np.ndarray, scales: np.ndarray, k_logical: int,
-                pad_k: int = 256, pad_n: int = 256, pad_code: int = 0x88):
-    """Pad packed planes to tile-friendly dims with inert values.
-    pad_code 0x88 (code 8 = value 0) for symmetric q4_0; 0x00 for affine
-    weights whose padding is made inert by zero scales *and* zero mins."""
+                pad_n: int = 256, pad_code: int = 0x88):
+    """Pad packed planes to tile-friendly dims with inert values (K via
+    good_pad_k auto-padding). pad_code 0x88 (code 8 = value 0) for symmetric
+    q4_0; 0x00 for affine weights whose padding is made inert by zero scales
+    *and* zero mins."""
     kh, n = qs.shape
-    k_pad = pad_multiple(k_logical, pad_k)
+    k_pad = good_pad_k(k_logical)
     n_pad = pad_multiple(n, pad_n)
     if (k_pad // 2, n_pad) == (kh, n):
         return qs, scales
@@ -63,10 +64,10 @@ def _pad_packed(qs: np.ndarray, scales: np.ndarray, k_logical: int,
 
 
 def _pad_packed_plane(plane: np.ndarray, k_logical: int,
-                      pad_k: int = 256, pad_n: int = 256):
+                      pad_n: int = 256):
     """Zero-pad a [K/32, N] plane to the padded dims."""
     nb, n = plane.shape
-    k_pad = pad_multiple(k_logical, pad_k)
+    k_pad = good_pad_k(k_logical)
     n_pad = pad_multiple(n, pad_n)
     if (k_pad // QBLOCK, n_pad) == (nb, n):
         return plane, None

@@ -9,9 +9,10 @@ QuantMatmulWeight (fused Pallas dequant-matmul) or dense arrays.
 Decode-path design (bandwidth-bound, profiled on v5e):
   * QKV and w1/w3 are pre-fused into single matmul weights (models/fuse.py)
     — 4 kernel launches per layer instead of 7.
-  * The KV cache is a per-layer list of [B, S, H, Dh] buffers (not one
+  * The KV cache is a per-layer list of [B, S, H*Dh] buffers (not one
     stacked array): XLA aliases the donated buffers in place, where a
-    scatter into a stacked [L, ...] cache cost ~4 ms/step in copies.
+    scatter into a stacked [L, ...] cache cost ~4 ms/step in copies. Heads
+    stay flat so the decode-attention kernel blocks them without a copy.
   * LoRA adapters are separate additive terms (LoraTerm fields), never
     folded into the quantized base weights.
 
@@ -32,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import HyperParams
+from ..kernels.decode_attention import decode_attention, decode_attn_supported
 from ..kernels.q4_matmul import q4_matmul
 from ..kernels.rope import rope_interleaved
 from ..quant.tensor import (
@@ -42,7 +44,10 @@ from .fuse import split_qkv, split_w13
 Linear = Union[QuantMatmulWeight, jax.Array]   # dense weights are [K, N]
 Embedding = Union[QuantEmbedding, jax.Array]   # dense tables are [V, D]
 
-KVPair = tuple[jax.Array, jax.Array]           # ([B,S,H,Dh], [B,S,H,Dh])
+# Per-layer cache pair, each [B, S, H*Dh] — heads FLAT in the last axis so
+# the fused decode-attention kernel can block per-head columns without a
+# physical layout change (see kernels/decode_attention.py).
+KVPair = tuple[jax.Array, jax.Array]
 
 
 @jax.tree_util.register_pytree_node_class
@@ -214,18 +219,18 @@ def embed_tokens(table: Embedding, tokens: jax.Array, dtype,
 
 def _write_kv(buf: jax.Array, val: jax.Array, positions: jax.Array,
               cfg: ForwardConfig) -> jax.Array:
-    """Write [B, T, H, Dh] values into the [B, S, H, Dh] cache.
+    """Write [B, T, H, Dh] values into the [B, S, H*Dh] cache.
 
     "dus": one shared offset (positions[0,0]) — XLA updates the donated
     buffer in place. "scatter": per-row positions with mode='drop' (padded
     bucket tails past n_ctx are discarded) — the batched engine's per-slot
     path. Static-shape mirrors of ggml's strided view copy
     (lib/llama.cpp:336-343)."""
-    val = val.astype(buf.dtype)
+    b, t = val.shape[:2]
+    val = val.reshape(b, t, -1).astype(buf.dtype)
     if cfg.kv_update == "dus":
         return jax.lax.dynamic_update_slice(
-            buf, val, (0, positions[0, 0], 0, 0))
-    b = val.shape[0]
+            buf, val, (0, positions[0, 0], 0))
     b_idx = jnp.arange(b)[:, None]
     return buf.at[b_idx, positions].set(val, mode="drop")
 
@@ -267,7 +272,7 @@ def _attention(x: jax.Array, layer: LayerParams, positions: jax.Array,
                kv: KVPair, cfg: ForwardConfig):
     """Self-attention for one layer.
 
-    x: [B, T, D]; positions: [B, T] absolute; kv: ([B,S,H,Dh], [B,S,H,Dh]).
+    x: [B, T, D]; positions: [B, T] absolute; kv: ([B,S,H*Dh], [B,S,H*Dh]).
     Returns (attn_out [B, T, D], new kv pair).
     """
     b, t, d = x.shape
@@ -291,22 +296,36 @@ def _attention(x: jax.Array, layer: LayerParams, positions: jax.Array,
     kv_k = _write_kv(kv_k, k, positions, cfg)
     kv_v = _write_kv(kv_v, v, positions, cfg)
 
-    if _flash_viable(cfg, t, hd):
-        # Fresh-prompt prefill: attend over the just-computed in-window K/V
-        # with the Pallas flash kernel (equivalent to the masked einsum path
-        # when n_past == 0, which cfg.flash_prefill asserts). ~4x higher MXU
-        # occupancy at T=512 than the unfused einsums below.
-        ctx = _flash_prefill_attention(q, k, v, hd)
+    def finish(ctx):
         ctx = ctx.reshape(b, t, h * hd).astype(cfg.act_jdtype)
         out = apply_linear(ctx, layer.wo, cfg)
         if layer.lora_wo is not None:
             out = out + apply_lora(ctx, layer.lora_wo)
         if cfg.tp_axis is not None:
+            # wo is reduction-sharded over heads: sum partials over ICI
             out = jax.lax.psum(out, cfg.tp_axis)
         return out.astype(cfg.act_jdtype), (kv_k, kv_v)
 
-    keys = kv_k.astype(jnp.float32)                # [B, S, H, Dh]
-    vals = kv_v.astype(jnp.float32)
+    if _flash_viable(cfg, t, hd):
+        # Fresh-prompt prefill: attend over the just-computed in-window K/V
+        # with the Pallas flash kernel (equivalent to the masked einsum path
+        # when n_past == 0, which cfg.flash_prefill asserts). ~4x higher MXU
+        # occupancy at T=512 than the unfused einsums below.
+        return finish(_flash_prefill_attention(q, k, v, hd))
+
+    if (t == 1 and cfg.w_jdtype != jnp.float32
+            and decode_attn_supported(s, hd)
+            and jax.default_backend() == "tpu"):
+        # Decode: one fused Pallas kernel per layer over the updated cache
+        # (masked to s <= n_past, so the scatter above is the only write).
+        import math
+        ctx = decode_attention(q.reshape(b, 1, h * hd), kv_k, kv_v,
+                               positions[:, 0], head_dim=hd,
+                               scale=1.0 / math.sqrt(hd))
+        return finish(ctx)
+
+    keys = kv_k.reshape(b, s, h, hd).astype(jnp.float32)   # [B, S, H, Dh]
+    vals = kv_v.reshape(b, s, h, hd).astype(jnp.float32)
 
     # In parity mode (f32 weights) the attention contractions must also run
     # at full f32; production bf16 runs use the backend default (bf16 MXU).
@@ -324,14 +343,7 @@ def _attention(x: jax.Array, layer: LayerParams, positions: jax.Array,
     probs = jax.nn.softmax(scores, axis=-1)
 
     ctx = jnp.einsum("bhts,bshd->bthd", probs, vals, precision=attn_prec)
-    ctx = ctx.reshape(b, t, h * hd).astype(cfg.act_jdtype)
-    out = apply_linear(ctx, layer.wo, cfg)
-    if layer.lora_wo is not None:
-        out = out + apply_lora(ctx, layer.lora_wo)
-    if cfg.tp_axis is not None:
-        # wo is reduction-sharded over heads: sum partial outputs over ICI
-        out = jax.lax.psum(out, cfg.tp_axis)
-    return out.astype(cfg.act_jdtype), (kv_k, kv_v)
+    return finish(ctx)
 
 
 def _ffn(x: jax.Array, layer: LayerParams, cfg: ForwardConfig) -> jax.Array:
@@ -361,7 +373,7 @@ def forward(params: LlamaParams, tokens: jax.Array, n_past: jax.Array,
       tokens: [B, T] int32 (T static; padded tokens allowed — their logits
         and cache slots are garbage that later writes overwrite).
       n_past: scalar int32 — number of tokens already in the cache.
-      kv_caches: per-layer (k, v) pairs, each [B, S, H, Dh].
+      kv_caches: per-layer (k, v) pairs, each [B, S, H*Dh].
       last_idx: scalar int32 — index of the last *valid* token within the
         (possibly padded) T window; defaults to T-1. The non-all-logits
         output head and the embeddings tap read this row.
@@ -543,7 +555,7 @@ def init_kv_cache(hp: HyperParams, batch: int, n_ctx: int,
                   dtype=jnp.bfloat16) -> list[KVPair]:
     """Allocate the KV cache (reference: KVCacheBuffer::init, llama.cpp:24-51;
     dtype is configurable where the reference hard-codes f32). Per-layer
-    buffers keep donated updates in place."""
-    shape = (batch, n_ctx, hp.n_head, hp.head_dim)
+    buffers keep donated updates in place; heads flat in the last axis."""
+    shape = (batch, n_ctx, hp.n_head * hp.head_dim)
     return [(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
             for _ in range(hp.n_layer)]

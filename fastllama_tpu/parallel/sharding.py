@@ -42,8 +42,9 @@ OUT_SHARDED = P(None, MODEL_AXIS)    # [K, N] with N split
 RED_SHARDED = P(MODEL_AXIS, None)    # [K, N] with K split (psum after)
 REPLICATED = P()
 
-# per-layer KV buffer [B, S, H, Dh]: batch on data, heads on model
-KV_SPEC = P(DATA_AXIS, None, MODEL_AXIS, None)
+# per-layer KV buffer [B, S, H*Dh]: batch on data, head columns on model
+# (tp divides n_head, so the flat split lands exactly on head boundaries)
+KV_SPEC = P(DATA_AXIS, None, MODEL_AXIS)
 
 
 def make_mesh(n_data: int = 1, n_model: int = 1,
@@ -101,6 +102,21 @@ def params_pspec_tree(params: LlamaParams) -> LlamaParams:
     )
 
 
+def _strip_k_pad(w, k_logical: int):
+    """Remove pack-time K padding (quant/tensor.good_pad_k) from a weight
+    about to be reduction-sharded: the inert rows sit at the END of the
+    global K, so splitting the padded array over the model axis would shift
+    every shard's rows off its activation slice."""
+    from ..quant.tensor import QBLOCK, QuantMatmulWeight
+    if not isinstance(w, QuantMatmulWeight) or w.qs.shape[0] * 2 == k_logical:
+        return w
+    return QuantMatmulWeight(
+        qs=w.qs[: k_logical // 2],
+        scales=w.scales[: k_logical // QBLOCK],
+        mins=None if w.mins is None else w.mins[: k_logical // QBLOCK],
+        n_logical=w.n_logical)
+
+
 def shard_params(params: LlamaParams, mesh: Mesh) -> LlamaParams:
     """device_put every leaf with its NamedSharding (weights pre-sharded)."""
     from ..quant.tensor import QuantMatmulWeight
@@ -114,6 +130,19 @@ def shard_params(params: LlamaParams, mesh: Mesh) -> LlamaParams:
                 f"cannot shard an N-padded quant weight "
                 f"({leaf.n_logical} padded to {leaf.n_padded}); choose dims "
                 f"that are multiples of 256")
+
+    # Reduction-sharded weights (wo: K=n_embd, w2: K=n_ff) must shed their
+    # pack-time K padding before the model-axis split.
+    layers = []
+    for layer in params.layers:
+        n_embd = layer.attention_norm.shape[0]
+        w13 = layer.w13
+        n_ff = (w13.n_logical if isinstance(w13, QuantMatmulWeight)
+                else w13.shape[1]) // 2
+        layers.append(dataclasses.replace(
+            layer, wo=_strip_k_pad(layer.wo, n_embd),
+            w2=_strip_k_pad(layer.w2, n_ff)))
+    params = dataclasses.replace(params, layers=layers)
     specs = params_pspec_tree(params)
     shardings = jax.tree.map(
         lambda s: NamedSharding(mesh, s), specs,

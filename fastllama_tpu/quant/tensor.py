@@ -139,6 +139,40 @@ def pad_multiple(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def pick_tile_k(k: int, cap: int = 2816) -> int:
+    """The K tile the Pallas kernel will choose for stored dim k: the largest
+    multiple of 256 dividing k, up to cap (kernels/q4_matmul._pick_tile_k
+    mirrors this). Falls back to k itself when no 256-multiple divides it
+    (then the whole K is one tile — also fine)."""
+    best = 0
+    d = 256
+    while d <= cap:
+        if k % d == 0:
+            best = d
+        d += 256
+    return best or k
+
+
+def good_pad_k(k: int) -> int:
+    """Smallest stored K >= k (multiple of 256) whose Pallas K tile is large.
+
+    Some model dims have no large 256-multiple divisor — 7B's n_ff=11008
+    only offers bk=256, which ran the w2 matmul at ~257 GB/s vs ~1000 with
+    bk=2816 on v5e (43 sequential micro-steps starve the DMA pipeline). A few
+    inert padded rows (codes->0, scales=0) buy the good tiling: 11008->11264
+    (+2.3% bytes), 22016->22528, 6656->6912. Reduction-sharded weights must
+    NOT keep this padding (interior shard boundaries would shift);
+    parallel/sharding.shard_params strips it."""
+    k0 = pad_multiple(k, 256)
+    cand = k0
+    while cand <= k0 + 2816:
+        # good = the whole K is one tile, or the tile is large
+        if pick_tile_k(cand) >= min(1024, cand):
+            return cand
+        cand += 256
+    return k0
+
+
 def pack_codes_split_k(codes_t: np.ndarray) -> np.ndarray:
     """[K, N] uint8 codes -> [K/2, N] split-K packed bytes."""
     k, n = codes_t.shape
@@ -149,20 +183,21 @@ def pack_codes_split_k(codes_t: np.ndarray) -> np.ndarray:
 
 def make_matmul_weight(codes: np.ndarray, scales: np.ndarray,
                        scale_dtype: Any = np.float32,
-                       pad_k: int = 256, pad_n: int = 256) -> QuantMatmulWeight:
+                       pad_k: int = 0, pad_n: int = 256) -> QuantMatmulWeight:
     """Build the device layout from row-major quantizer output.
 
     Args:
       codes: uint8 [N, K] (as produced by quant.q4.quantize_q4_0 on a weight
         whose ggml orientation is [N rows, K cols], i.e. y = W @ x^T rows).
       scales: f32 [N, K//32].
-      pad_k/pad_n: round the stored dims up to these multiples with inert
-        padding (codes=8, scales=0) so awkward dims (e.g. n_ff=11008) map to
-        large aligned Pallas tiles. The logical N is preserved in the
+      pad_k/pad_n: round the stored dims up with inert padding (codes=8,
+        scales=0) so awkward dims (e.g. n_ff=11008) map to large aligned
+        Pallas tiles. pad_k=0 (default) = auto: good_pad_k picks the smallest
+        K with a large tile divisor. The logical N is preserved in the
         container; q4_matmul slices outputs and zero-pads activations.
     """
     n, k = codes.shape
-    k_pad = pad_multiple(k, pad_k)
+    k_pad = good_pad_k(k) if not pad_k else pad_multiple(k, pad_k)
     n_pad = pad_multiple(n, pad_n)
     codes_t = np.full((k_pad, n_pad), 8, np.uint8)
     codes_t[:k, :n] = np.asarray(codes, np.uint8).T
@@ -175,13 +210,13 @@ def make_matmul_weight(codes: np.ndarray, scales: np.ndarray,
 
 
 def matmul_weight_from_planes(qs: np.ndarray, scales: np.ndarray,
-                              pad_k: int = 256, pad_n: int = 256
+                              pad_k: int = 0, pad_n: int = 256
                               ) -> QuantMatmulWeight:
     """Build from unpadded device-layout planes (qs [K/2, N], scales
-    [K/32, N]), applying inert tile padding."""
+    [K/32, N]), applying inert tile padding (pad_k=0 = auto, good_pad_k)."""
     kh, n = qs.shape
     k = kh * 2
-    k_pad = pad_multiple(k, pad_k)
+    k_pad = good_pad_k(k) if not pad_k else pad_multiple(k, pad_k)
     n_pad = pad_multiple(n, pad_n)
     if (k_pad, n_pad) != (k, n):
         out_qs = np.full((k_pad // 2, n_pad), 0x88, np.uint8)
@@ -243,14 +278,14 @@ def dequant_matmul_weight(w: QuantMatmulWeight, dtype=jnp.bfloat16) -> jax.Array
 
 def make_matmul_weight_q41(codes: np.ndarray, scales: np.ndarray,
                            mins: np.ndarray,
-                           pad_k: int = 256, pad_n: int = 256
+                           pad_k: int = 0, pad_n: int = 256
                            ) -> QuantMatmulWeight:
     """Affine-quantized RHS (q4_1 / GPTQ): w = q*d + m per 32-block.
 
     codes uint8 [N, K], scales/mins f32 [N, K//32] (padding is inert:
-    codes=0, d=0, m=0)."""
+    codes=0, d=0, m=0; pad_k=0 = auto, good_pad_k)."""
     n, k = codes.shape
-    k_pad = pad_multiple(k, pad_k)
+    k_pad = good_pad_k(k) if not pad_k else pad_multiple(k, pad_k)
     n_pad = pad_multiple(n, pad_n)
     codes_t = np.zeros((k_pad, n_pad), np.uint8)
     codes_t[:k, :n] = np.asarray(codes, np.uint8).T

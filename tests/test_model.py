@@ -93,7 +93,8 @@ def test_forward_prefill_parity():
 
     # KV cache contents must match for the written range
     got_k = np.stack([np.asarray(k)[0, :5] for k, _ in kv])
-    np.testing.assert_allclose(got_k, kv_k_np[:, :5], rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(got_k, kv_k_np[:, :5].reshape(got_k.shape),
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_forward_decode_matches_prefill():

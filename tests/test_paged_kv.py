@@ -103,8 +103,8 @@ def test_paged_decode_matches_slab(tiny_model):
     assert mgr.alloc_for(0, t0 + 1)
     pages, offs = mgr.token_page_offsets(0, 0, t0)
     for li in range(hp.n_layer):
-        k_slab = np.asarray(kv[li][0])[0, :t0]      # [t0, H, D]
-        v_slab = np.asarray(kv[li][1])[0, :t0]
+        k_slab = np.asarray(kv[li][0])[0, :t0].reshape(t0, hp.n_head, -1)
+        v_slab = np.asarray(kv[li][1])[0, :t0].reshape(t0, hp.n_head, -1)
         mgr.k_pages[li], mgr.v_pages[li] = write_tokens_paged(
             mgr.k_pages[li], mgr.v_pages[li],
             jnp.asarray(k_slab[None]), jnp.asarray(v_slab[None]),
