@@ -104,14 +104,20 @@ class PagedKVManager:
 
     def __post_init__(self):
         h, d = self.hp.n_head, self.hp.head_dim
-        shape = (h, self.total_pages, self.page_size, d)
+        # +1 trash page at index total_pages: the sentinel id for inactive
+        # slots. The Pallas in-place write kernel (kernels/kv_write.py) lands
+        # sentinel writes there instead of needing a predicated store; the
+        # XLA fallback scatter reaches it the same way. It is never allocated
+        # and never referenced by a page table.
+        shape = (h, self.total_pages + 1, self.page_size, d)
         self.k_pages = [jnp.zeros(shape, self.dtype)
                         for _ in range(self.hp.n_layer)]
         self.v_pages = [jnp.zeros(shape, self.dtype)
                         for _ in range(self.hp.n_layer)]
         self._free = list(range(self.total_pages - 1, -1, -1))
-        # page table per slot; total_pages = an always-invalid sentinel id
-        # (writes drop, reads hit page 0 garbage but are length-masked)
+        # page table per slot; total_pages = the trash-page sentinel id
+        # (writes land in trash, reads hit page 0 garbage but are
+        # length-masked)
         self.page_tables = np.full((self.n_slots, self.pages_per_seq),
                                    0, np.int32)
         self._owned: list[list[int]] = [[] for _ in range(self.n_slots)]

@@ -445,6 +445,7 @@ def forward_paged_decode(params: LlamaParams, tokens: jax.Array,
     Returns (logits [B, 1, V], k_pages, v_pages).
     """
     from ..engine.paged_kv import paged_attention_reference, write_tokens_paged
+    from ..kernels.kv_write import paged_kv_write, paged_kv_write_supported
     if paged_attn is None:
         paged_attn = paged_attention_reference
 
@@ -452,6 +453,12 @@ def forward_paged_decode(params: LlamaParams, tokens: jax.Array,
     act_dtype = cfg.act_jdtype
     h = cfg.n_head
     positions = lengths[:, None]                     # [B, 1]
+    ps, hd0 = k_pages[0].shape[2], k_pages[0].shape[3]
+    # In-place Pallas write on TPU (kernels/kv_write.py — kills the ~14
+    # ms/step of defensive pool copies the scatter fallback provokes);
+    # XLA scatter elsewhere and for tiny test shapes.
+    use_write_kernel = (jax.default_backend() == "tpu"
+                        and paged_kv_write_supported(ps, hd0))
 
     x = embed_tokens(params.tok_embeddings, tokens, act_dtype, cfg)
 
@@ -464,8 +471,12 @@ def forward_paged_decode(params: LlamaParams, tokens: jax.Array,
         q = rope_interleaved(q, positions, cfg.n_rot)
         k = rope_interleaved(k, positions, cfg.n_rot)
 
-        kp, vp = write_tokens_paged(kp, vp, k, v, page_ids[:, None],
-                                    offsets[:, None])
+        if use_write_kernel:
+            kp, vp = paged_kv_write(kp, vp, k[:, 0], v[:, 0],
+                                    page_ids, offsets)
+        else:
+            kp, vp = write_tokens_paged(kp, vp, k, v, page_ids[:, None],
+                                        offsets[:, None])
         new_kp.append(kp)
         new_vp.append(vp)
 

@@ -13,6 +13,23 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+import gc
+
 import jax
+import pytest
 
 jax.config.update("jax_platforms", "cpu")
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_process_memory():
+    """Drop compiled executables + cached constants between test modules.
+
+    The suite runs ~150 tests in ONE process, several of which compile
+    30B/65B-dim sharded programs; without trimming, the jit caches
+    accumulate until XLA's host allocator aborts mid-suite (observed as a
+    SIGABRT in a device->host transfer around the 140th test). Per-module
+    recompiles of the small shared kernels cost a few seconds total."""
+    yield
+    jax.clear_caches()
+    gc.collect()

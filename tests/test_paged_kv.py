@@ -80,6 +80,35 @@ def test_paged_write_and_reference_attention():
     np.testing.assert_allclose(out[0], want, rtol=1e-5, atol=1e-5)
 
 
+def test_paged_kv_write_kernel_matches_scatter():
+    """The in-place Pallas write (kernels/kv_write.py, interpret mode here)
+    must produce the same pools as the XLA scatter fallback on every real
+    page, with sentinel writes landing only in the trash page."""
+    from fastllama_tpu.kernels.kv_write import paged_kv_write
+
+    rng = np.random.default_rng(3)
+    h, p, ps, d = 4, 5, 16, 128        # page 4 = trash (sentinel id)
+    b = 3
+    kp = jnp.asarray(rng.standard_normal((h, p, ps, d)), jnp.float32)
+    vp = jnp.asarray(rng.standard_normal((h, p, ps, d)), jnp.float32)
+    k_new = jnp.asarray(rng.standard_normal((b, h, d)), jnp.float32)
+    v_new = jnp.asarray(rng.standard_normal((b, h, d)), jnp.float32)
+    pids = jnp.asarray([1, 3, 4], jnp.int32)     # slot 2 inactive -> trash
+    offs = jnp.asarray([9, 3, 7], jnp.int32)
+
+    want_k, want_v = write_tokens_paged(
+        kp, vp, k_new[:, None], v_new[:, None], pids[:, None], offs[:, None])
+    got_k, got_v = paged_kv_write(kp, vp, k_new, v_new, pids, offs,
+                                  interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_k)[:, :4],
+                                  np.asarray(want_k)[:, :4])
+    np.testing.assert_array_equal(np.asarray(got_v)[:, :4],
+                                  np.asarray(want_v)[:, :4])
+    # rows 9 of page 1 / 3 of page 3 hold the new vectors
+    np.testing.assert_array_equal(np.asarray(got_k)[:, 1, 9], np.asarray(k_new[0]))
+    np.testing.assert_array_equal(np.asarray(got_v)[:, 3, 3], np.asarray(v_new[1]))
+
+
 def test_paged_decode_matches_slab(tiny_model):
     """Prefill on the slab cache, mirror that KV into pages, then one decode
     step each way — logits must match."""

@@ -1,0 +1,86 @@
+"""Profile the paged-KV BatchEngine decode step on real TPU and print the
+device-side op breakdown (VERDICT round-1 weak #2: paged was 2.2x slower
+than slab from defensive pool copies).
+
+Usage: python tools/profile_paged.py [--steps 8] [--layers 32] [--slots 8]
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--out", default="/tmp/prof_paged")
+    ap.add_argument("--slots", type=int, default=8)
+    ap.add_argument("--layers", type=int, default=32)
+    ap.add_argument("--n-ctx", type=int, default=512)
+    ap.add_argument("--kv-mode", default="paged")
+    args = ap.parse_args()
+
+    import jax
+    from fastllama_tpu.config import HyperParams, RuntimeConfig
+    from fastllama_tpu.engine.scheduler import BatchEngine, Request
+    from fastllama_tpu.engine.tokenizer import Vocab
+    from __graft_entry__ import _build_model
+    from _trace_util import load_device_op_breakdown, print_breakdown
+
+    print("devices:", jax.devices(), file=sys.stderr, flush=True)
+    hp = HyperParams(n_vocab=32000, n_embd=4096, n_head=32,
+                     n_layer=args.layers, n_rot=128)
+    t0 = time.time()
+    params = _build_model(hp, n_ff=11008)
+    print(f"built weights in {time.time() - t0:.1f}s", file=sys.stderr)
+
+    toks = [(b"<unk>", 0.0), (b"<s>", 0.0), (b"</s>", 0.0)]
+    toks += [(bytes([i]), -1e6) for i in range(256)]
+    toks += [(f" w{i}".encode(), 1.0) for i in range(741)]
+    vocab = Vocab.from_tokens(toks)
+
+    rcfg = RuntimeConfig(prefill_buckets=(16,))
+    t0 = time.time()
+    eng = BatchEngine(hp, params, vocab, n_slots=args.slots,
+                      n_ctx=args.n_ctx, rcfg=rcfg, temp=0.8,
+                      kv_mode=args.kv_mode, drain_depth=10 ** 6,
+                      sampling_seed=0)
+    reqs = [Request(prompt=f"w{i % 7} w{i % 11}", max_tokens=10 ** 6)
+            for i in range(args.slots)]
+    for r in reqs:
+        eng.submit(r)
+    eng._fill_idle_slots()
+    # compile the decode step + warm
+    for _ in range(6):
+        eng._launch()
+    _ = np.asarray(eng.d_tokens)
+    print(f"admitted+compiled in {time.time() - t0:.1f}s", file=sys.stderr)
+
+    with jax.profiler.trace(args.out):
+        for _ in range(args.steps):
+            eng._launch()
+        _ = np.asarray(eng.d_tokens)
+
+    # wall-clock step rate (chained launches, single readback)
+    n = 48
+    t0 = time.perf_counter()
+    for _ in range(n):
+        eng._launch()
+    _ = np.asarray(eng.d_tokens)
+    dt = time.perf_counter() - t0
+    print(f"wall: {n} steps in {dt:.3f}s = {dt / n * 1e3:.2f} ms/step "
+          f"({args.slots * n / dt:.0f} tok/s aggregate)", file=sys.stderr)
+
+    total, agg, cnt = load_device_op_breakdown(args.out)
+    print_breakdown(total, agg, cnt, args.steps)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
