@@ -110,3 +110,271 @@ def decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
 def decode_attn_supported(s: int, d: int) -> bool:
     """Mosaic shape gate: lane-aligned head dim, sublane-aligned seq."""
     return d % 128 == 0 and s % 8 == 0 and s >= 128
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused decode step attention: RoPE(q,k) + cache write + attention.
+#
+# The unfused decode path spends ~250 us/step (7B, B=1) on XLA glue around
+# this kernel: the interleaved-RoPE de-interleave reshapes put a size-2 axis
+# in the lane dimension (f32[.,.,H,64,2] relayouts), split_qkv slices three
+# views out of the fused projection, and the cache write is a separate
+# dynamic_update_slice per layer. Here the kernel consumes the RAW fused
+# qkv output [B, 1, 3F] via three BlockSpec windows (no split in XLA), ropes
+# q/k on the fly, blends the new K/V row into its 8-row cache group IN PLACE
+# (input_output_aliases, like kernels/kv_write.py), and attends.
+#
+# RoPE-as-matmul: the adjacent-pair rotation is
+#     rot(x)[l] = x[l]*cos[l] + x[l^1]*sin_signed[l]
+# where sin_signed folds the -sin of the even lane. The lane-partner gather
+# x[l^1] is one [d, d] MXU pass against a 0/1 swap matrix built from iotas —
+# no lane shuffles on the VPU. cos/sin_signed come in precomputed per
+# position ([B, d], rope_lane_tables below — one tiny XLA op per step,
+# replacing 2 rope chains per layer).
+#
+# The new token's score/value never need the written row: attention reads
+# rows < n_past from the old cache and folds the new (roped) K/V in
+# analytically, so there is no read-after-write hazard on the aliased pools.
+# ---------------------------------------------------------------------------
+
+
+def rope_lane_tables(positions: jax.Array, head_dim: int, n_rot: int):
+    """Per-lane RoPE tables for the fused decode kernel.
+
+    Returns (cos [B, d], sin_signed [B, d]) f32 with the ggml interleaved
+    convention (kernels/rope.py): lane l < n_rot uses pair angle
+    p * 10000^(-2*(l//2)/n_rot); lanes >= n_rot pass through (cos=1, sin=0).
+    sin_signed carries the even-lane minus sign."""
+    d = head_dim
+    l = jnp.arange(d, dtype=jnp.int32)
+    pair = (l // 2).astype(jnp.float32)
+    freq = jnp.float32(10000.0) ** (-2.0 * pair / n_rot)
+    theta = positions.astype(jnp.float32)[:, None] * freq[None, :]
+    active = (l < n_rot)[None, :]
+    cos = jnp.where(active, jnp.cos(theta), 1.0)
+    sign = jnp.where(l % 2 == 0, -1.0, 1.0)[None, :]
+    sin = jnp.where(active, jnp.sin(theta) * sign, 0.0)
+    return cos, sin
+
+
+def _swap_matrix(d: int, n_rot: int, dtype):
+    """[d, d] P with (x @ P)[l] = x[l^1] for l < n_rot, x[l] otherwise."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (d, d), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (d, d), 1)
+    swapped = (rows == (cols ^ 1)).astype(dtype)   # select over i1 values is
+    ident = (rows == cols).astype(dtype)           # unsupported in Mosaic
+    return jnp.where(cols < n_rot, swapped, ident)
+
+
+def _fused_kernel(npast_ref, cos_ref, sin_ref, q_ref, k_ref, v_ref,
+                  kc_ref, vc_ref, o_ref, kout_ref, vout_ref, *,
+                  scale, n_rot):
+    b = pl.program_id(0)
+    s = kc_ref.shape[1]
+    d = q_ref.shape[2]
+    np_b = npast_ref[b]
+    np_w = jnp.clip(np_b, 0, s - 1)          # write row (clamped for safety)
+
+    cos = cos_ref[0][None, :]                # [1, d]
+    sin = sin_ref[0][None, :]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, d), 1)
+    even = lane % 2 == 0
+
+    def rope(x):                             # x [1, d] f32
+        # lane partner x[l^1] via two 1-lane rotates + select (pltpu.roll);
+        # an MXU swap-matrix pass here measured ~7 us/layer slower — three
+        # extra tiny dots per grid cell pipeline poorly.
+        partner = jnp.where(even, pltpu.roll(x, d - 1, 1),
+                            pltpu.roll(x, 1, 1))
+        return x * cos + partner * sin
+
+    q = rope(q_ref[0].astype(jnp.float32))   # [1, d]
+    k_new = rope(k_ref[0].astype(jnp.float32))
+    v_new = v_ref[0].astype(jnp.float32)     # [1, d]
+
+    # blend the roped K / raw V into the 8-row cache group at row np_w % 8
+    r = np_w % kout_ref.shape[1]
+    sel = jax.lax.broadcasted_iota(jnp.int32, (1, kout_ref.shape[1], 1), 1) == r
+    g0 = (np_w // kout_ref.shape[1]) * kout_ref.shape[1]
+    k_grp = kc_ref[0, pl.ds(g0, kout_ref.shape[1]), :]
+    v_grp = vc_ref[0, pl.ds(g0, kout_ref.shape[1]), :]
+    kout_ref[:] = jnp.where(sel, k_new[:, None, :].astype(kout_ref.dtype),
+                            k_grp[None])
+    vout_ref[:] = jnp.where(sel, v_new[:, None, :].astype(vout_ref.dtype),
+                            v_grp[None])
+
+    # attention: rows < n_past from the old cache, new token folded in
+    k = kc_ref[0].astype(jnp.float32)        # [S, d]
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale   # [1, S]
+    pos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    mask = pos < np_b
+    scores = jnp.where(mask, scores, jnp.float32(-1e30))
+    s_new = jnp.sum(q * k_new, axis=-1, keepdims=True) * scale   # [1, 1]
+
+    m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), s_new)
+    p = jnp.where(mask, jnp.exp(scores - m), 0.0)
+    e_new = jnp.exp(s_new - m)
+    l = jnp.sum(p, axis=-1, keepdims=True) + e_new
+
+    v = vc_ref[0].astype(jnp.float32)
+    ctx = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)           # [1, d]
+    o_ref[0] = (ctx + e_new * v_new) / l
+
+
+def _fused_kernel_wide(npast_ref, cos_ref, sin_ref, qkv_ref, kc_ref, vc_ref,
+                       o_ref, kout_ref, vout_ref, *, scale, n_rot, h):
+    """Whole-row variant: grid (B,), one cell ropes/writes/attends ALL heads
+    (static unrolled head loop). Fewer grid cells -> less per-cell pipeline
+    overhead; the K/V row block is one big DMA instead of H per-head ones."""
+    b = pl.program_id(0)
+    s = kc_ref.shape[1]
+    f = kc_ref.shape[2]
+    d = f // h
+    grp = kout_ref.shape[1]
+    np_b = npast_ref[b]
+    np_w = jnp.clip(np_b, 0, s - 1)
+
+    cos = cos_ref[0][None, :]                # [1, f] pre-tiled per head
+    sin = sin_ref[0][None, :]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, f), 1)
+    even = lane % 2 == 0
+
+    def rope(x):                             # [1, f]; pairs never cross lanes
+        partner = jnp.where(even, pltpu.roll(x, f - 1, 1),
+                            pltpu.roll(x, 1, 1))
+        return x * cos + partner * sin
+
+    qkv = qkv_ref[0].astype(jnp.float32)     # [1, 3f]
+    q = rope(qkv[:, :f])
+    k_new = rope(qkv[:, f:2 * f])
+    v_new = qkv[:, 2 * f:]
+
+    r = np_w % grp
+    sel = jax.lax.broadcasted_iota(jnp.int32, (1, grp, 1), 1) == r
+    g0 = (np_w // grp) * grp
+    k_grp = kc_ref[0, pl.ds(g0, grp), :]
+    v_grp = vc_ref[0, pl.ds(g0, grp), :]
+    kout_ref[:] = jnp.where(sel, k_new[:, None, :].astype(kout_ref.dtype),
+                            k_grp[None])
+    vout_ref[:] = jnp.where(sel, v_new[:, None, :].astype(vout_ref.dtype),
+                            v_grp[None])
+
+    for hi in range(h):
+        c = slice(hi * d, (hi + 1) * d)
+        q_h = q[:, c]
+        kn_h = k_new[:, c]
+        vn_h = v_new[:, c]
+        k = kc_ref[0, :, c].astype(jnp.float32)        # [S, d]
+        scores = jax.lax.dot_general(
+            q_h, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        pos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        mask = pos < np_b
+        scores = jnp.where(mask, scores, jnp.float32(-1e30))
+        s_new = jnp.sum(q_h * kn_h, axis=-1, keepdims=True) * scale
+        m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), s_new)
+        p = jnp.where(mask, jnp.exp(scores - m), 0.0)
+        e_new = jnp.exp(s_new - m)
+        l = jnp.sum(p, axis=-1, keepdims=True) + e_new
+        v = vc_ref[0, :, c].astype(jnp.float32)
+        ctx = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[0, :, c] = (ctx + e_new * vn_h) / l
+
+
+@functools.partial(jax.jit, static_argnames=("head_dim", "n_rot", "scale",
+                                              "interpret", "wide"))
+def decode_attention_fused(qkv: jax.Array, k_cache: jax.Array,
+                           v_cache: jax.Array, n_past: jax.Array,
+                           cos: jax.Array, sin: jax.Array, *,
+                           head_dim: int, n_rot: int, scale: float,
+                           interpret: bool = False, wide: bool = True):
+    """One decode step's attention, fused: rope + cache write + attend.
+
+    Args:
+      qkv: [B, 1, 3F] raw fused projection output ([Q | K | V] blocks,
+        models/fuse.py), pre-RoPE.
+      k_cache/v_cache: [B, S, F] (donated; updated in place via aliasing).
+      n_past: [B] int32 per-sequence depth; the new token lands at row
+        n_past[b] and attends rows < n_past[b] plus itself.
+      cos/sin: [B, head_dim] rope_lane_tables(positions).
+    Returns (ctx [B, 1, F] f32, k_cache, v_cache).
+    """
+    b, s, f = k_cache.shape
+    d = head_dim
+    h = f // d
+    n_past = jnp.asarray(n_past, jnp.int32).reshape(b)
+    grp = 8
+
+    out_shape = [jax.ShapeDtypeStruct((b, 1, f), jnp.float32),
+                 jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+                 jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype)]
+
+    if wide:
+        # grid (B,): one cell per sequence, unrolled head loop; cos/sin are
+        # tiled across heads on the host of the kernel (tiny [B, F] arrays).
+        cos = jnp.tile(cos, (1, h))
+        sin = jnp.tile(sin, (1, h))
+
+        def row_group_w(bi, np_ref):
+            return (bi, jnp.clip(np_ref[bi], 0, s - 1) // grp, 0)
+
+        kernel = functools.partial(_fused_kernel_wide, scale=scale,
+                                   n_rot=n_rot, h=h)
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                in_specs=[
+                    pl.BlockSpec((1, f), lambda bi, n: (bi, 0)),
+                    pl.BlockSpec((1, f), lambda bi, n: (bi, 0)),
+                    pl.BlockSpec((1, 1, 3 * f), lambda bi, n: (bi, 0, 0)),
+                    pl.BlockSpec((1, s, f), lambda bi, n: (bi, 0, 0)),
+                    pl.BlockSpec((1, s, f), lambda bi, n: (bi, 0, 0)),
+                ],
+                out_specs=[pl.BlockSpec((1, 1, f), lambda bi, n: (bi, 0, 0)),
+                           pl.BlockSpec((1, grp, f), row_group_w),
+                           pl.BlockSpec((1, grp, f), row_group_w)],
+                grid=(b,),
+            ),
+            out_shape=out_shape,
+            # operands: npast(0) cos(1) sin(2) qkv(3) k_cache(4) v_cache(5)
+            input_output_aliases={4: 1, 5: 2},
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+            interpret=interpret,
+        )(n_past, cos, sin, qkv, k_cache, v_cache)
+
+    def row_group(bi, hi, np_ref):
+        return (bi, jnp.clip(np_ref[bi], 0, s - 1) // grp, hi)
+
+    q_spec = pl.BlockSpec((1, 1, d), lambda bi, hi, n: (bi, 0, hi))
+    k_spec = pl.BlockSpec((1, 1, d), lambda bi, hi, n: (bi, 0, hi + h))
+    v_spec = pl.BlockSpec((1, 1, d), lambda bi, hi, n: (bi, 0, hi + 2 * h))
+    cache_spec = pl.BlockSpec((1, s, d), lambda bi, hi, n: (bi, 0, hi))
+    rope_spec = pl.BlockSpec((1, d), lambda bi, hi, n: (bi, 0))
+    out_grp_spec = pl.BlockSpec((1, grp, d), row_group)
+
+    kernel = functools.partial(_fused_kernel, scale=scale, n_rot=n_rot)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            in_specs=[rope_spec, rope_spec, q_spec, k_spec, v_spec,
+                      cache_spec, cache_spec],
+            out_specs=[pl.BlockSpec((1, 1, d), lambda bi, hi, n: (bi, 0, hi)),
+                       out_grp_spec, out_grp_spec],
+            grid=(b, h),
+        ),
+        out_shape=out_shape,
+        # operands: npast(0) cos(1) sin(2) q(3) k(4) v(5) k_cache(6) v_cache(7)
+        input_output_aliases={6: 1, 7: 2},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=interpret,
+    )(n_past, cos, sin, qkv, qkv, qkv, k_cache, v_cache)

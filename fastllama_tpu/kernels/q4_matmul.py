@@ -148,6 +148,50 @@ def _q4mm_kernel_v1(x_lo_ref, x_hi_ref, bs_ref, qs_ref, sc_ref, out_ref, *,
     out_ref[:] += acc + _corr_dot(bs_ref[:], sc_f)
 
 
+def _q4mm_kernel_v7(x_lo_ref, x_hi_ref, qs_ref, sc_ref, out_ref, *, w_dtype):
+    """v1 with the -8 correction's block sums computed IN-KERNEL on the MXU.
+
+    v1 takes a precomputed bsum operand, which costs the XLA host of every
+    call a reshape + reduce_sum + transpose chain (~1.5 us/call of small-op
+    overhead at decode sizes, 129 calls/step). Here the block sums fall out
+    of one extra tiny MXU dot against a 0/1 group matrix G[i, b] = [i//16 ==
+    b]:  bsum = (x_lo + x_hi) @ G  ([M, BK/2] @ [BK/2, BK/32] -> [M, NB]),
+    then corr = -8 * bsum @ scales. The group matrix is built from iotas on
+    the VPU (BK/2 * NB elements, trivial next to the dequant chain)."""
+    k_idx = pl.program_id(1)
+
+    @pl.when(k_idx == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    qs = qs_ref[:].astype(jnp.int32)
+    sc_f = sc_ref[:].astype(jnp.float32)
+    sc = _repeat_scales(sc_f)
+    w_lo = ((qs & 0x0F).astype(jnp.float32) * sc).astype(w_dtype)
+    w_hi = ((qs >> 4).astype(jnp.float32) * sc).astype(w_dtype)
+
+    prec = _dot_precision(w_dtype)
+    x_lo = x_lo_ref[:].astype(w_dtype)
+    x_hi = x_hi_ref[:].astype(w_dtype)
+    acc = jnp.dot(x_lo, w_lo, preferred_element_type=jnp.float32,
+                  precision=prec)
+    acc += jnp.dot(x_hi, w_hi, preferred_element_type=jnp.float32,
+                   precision=prec)
+
+    bkh = x_lo.shape[1]
+    nb = sc_f.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bkh, nb), 0) // HALF
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bkh, nb), 1)
+    g = (rows == cols).astype(w_dtype)
+    bs = jnp.dot((x_lo + x_hi), g, preferred_element_type=jnp.float32,
+                 precision=prec)                       # [M, NB]
+    corr = jax.lax.dot_general(
+        bs, sc_f, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST) * (-8.0)
+    out_ref[:] += acc + corr
+
+
 def _q4mm_kernel_v2(x_lo_ref, x_hi_ref, bs_ref, qs_ref, sc_ref, out_ref, *,
                     w_dtype):
     """Per-block MXU accumulation: the VPU only unpacks and converts codes
@@ -185,6 +229,72 @@ def _q4mm_kernel_v2(x_lo_ref, x_hi_ref, bs_ref, qs_ref, sc_ref, out_ref, *,
                      precision=prec)
         acc += z * sc_f[b][None, :]
     out_ref[:] += acc
+
+
+def _q4mm_kernel_v3(x_lo_ref, x_hi_ref, bs_ref, qs_ref, sc_ref, out_ref, *,
+                    w_dtype):
+    """bf16-domain dequant with implicit scale broadcast.
+
+    v1 spends ~4.5 VPU ops per weight element: widen, AND/SHIFT, i32->f32
+    cast, f32 multiply against a MATERIALIZED 16x-repeated f32 scale plane,
+    f32->bf16 cast. Here the codes are cast straight to bf16 (0..15 exact),
+    the scales are cast once at block granularity (1/16th of the elements),
+    and the multiply broadcasts s[nb, 1, bn] over the 16-row sublane groups
+    of a 3D view — no repeated plane is ever written. The MXU sees the same
+    bf16 tiles; only the rounding of (q * s) differs from v1 by at most one
+    bf16 ulp (both paths round the product to bf16).
+    """
+    k_idx = pl.program_id(1)
+
+    @pl.when(k_idx == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    qs = qs_ref[:].astype(jnp.int32)
+    sc_f = sc_ref[:].astype(jnp.float32)        # [BK/32, BN] (corr dot)
+    sc_b = sc_f.astype(w_dtype)[:, None, :]     # [BK/32, 1, BN]
+    nb, _, bn = sc_b.shape
+    lo = (qs & 0x0F).astype(w_dtype).reshape(nb, HALF, bn)
+    hi = (qs >> 4).astype(w_dtype).reshape(nb, HALF, bn)
+    w_lo = (lo * sc_b).reshape(nb * HALF, bn)
+    w_hi = (hi * sc_b).reshape(nb * HALF, bn)
+
+    prec = _dot_precision(w_dtype)
+    acc = jnp.dot(x_lo_ref[:].astype(w_dtype), w_lo,
+                  preferred_element_type=jnp.float32, precision=prec)
+    acc += jnp.dot(x_hi_ref[:].astype(w_dtype), w_hi,
+                   preferred_element_type=jnp.float32, precision=prec)
+    out_ref[:] += acc + _corr_dot(bs_ref[:], sc_f)
+
+
+def _q4mm_kernel_v4(x_lo_ref, x_hi_ref, bs_ref, qs_ref, sc_ref, out_ref, *,
+                    w_dtype):
+    """v1 minus the materialized scale repeat: the per-element chain stays
+    f32 (bf16 elementwise ops upcast to f32 on the VPU — v3 measured slower
+    for exactly that reason), but the scale multiply broadcasts
+    s[nb, 1, bn] over a [nb, 16, bn] sublane view of the codes instead of
+    writing a 16x-repeated plane first."""
+    k_idx = pl.program_id(1)
+
+    @pl.when(k_idx == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    qs = qs_ref[:].astype(jnp.int32)
+    sc_f = sc_ref[:].astype(jnp.float32)        # [BK/32, BN]
+    nb, bn = sc_f.shape
+    sc3 = sc_f[:, None, :]
+    lo = (qs & 0x0F).astype(jnp.float32).reshape(nb, HALF, bn)
+    hi = (qs >> 4).astype(jnp.float32).reshape(nb, HALF, bn)
+    w_lo = (lo * sc3).astype(w_dtype).reshape(nb * HALF, bn)
+    w_hi = (hi * sc3).astype(w_dtype).reshape(nb * HALF, bn)
+
+    prec = _dot_precision(w_dtype)
+    acc = jnp.dot(x_lo_ref[:].astype(w_dtype), w_lo,
+                  preferred_element_type=jnp.float32, precision=prec)
+    acc += jnp.dot(x_hi_ref[:].astype(w_dtype), w_hi,
+                   preferred_element_type=jnp.float32, precision=prec)
+    out_ref[:] += acc + _corr_dot(bs_ref[:], sc_f)
 
 
 def _q41mm_kernel(x_lo_ref, x_hi_ref, bs_ref, qs_ref, sc_ref, mn_ref,
@@ -300,8 +410,9 @@ def q4_matmul_pallas(x: jax.Array, qs: jax.Array, scales: jax.Array,
         interpret=interpret,
     )
 
-    if variant == "v0":
-        kernel = functools.partial(_q4mm_kernel, w_dtype=w_dtype)
+    if variant in ("v0", "v7"):
+        body = _q4mm_kernel if variant == "v0" else _q4mm_kernel_v7
+        kernel = functools.partial(body, w_dtype=w_dtype)
         return pl.pallas_call(
             kernel, in_specs=[x_spec, x_spec, qs_spec, sc_spec], **common,
         )(x_lo, x_hi, qs, scales)
@@ -312,7 +423,8 @@ def q4_matmul_pallas(x: jax.Array, qs: jax.Array, scales: jax.Array,
     bsum = x.astype(jnp.float32).reshape(m, k // QBLOCK, QBLOCK).sum(-1).T
     bs_spec = pl.BlockSpec((bk // QBLOCK, m), lambda i, kk: (kk, 0),
                            memory_space=pltpu.VMEM)
-    body = _q4mm_kernel_v1 if variant == "v1" else _q4mm_kernel_v2
+    body = {"v1": _q4mm_kernel_v1, "v2": _q4mm_kernel_v2,
+            "v3": _q4mm_kernel_v3, "v4": _q4mm_kernel_v4}[variant]
     kernel = functools.partial(body, w_dtype=w_dtype)
     return pl.pallas_call(
         kernel, in_specs=[x_spec, x_spec, bs_spec, qs_spec, sc_spec], **common,

@@ -4,12 +4,17 @@ Decode is HBM-bandwidth-bound and per-kernel-launch-overhead-sensitive: the
 QKV projections share their input, as do w1/w3, so they are fused into single
 matmul weights at load time (7 -> 4 kernel launches per layer).
 
-Column orders are chosen so tensor-parallel column sharding stays correct:
-
-  wqkv [D, H*3*hd]: per head h, columns [q_h | k_h | v_h] — a tp shard gets
-    whole heads, and the post-matmul reshape [..., h, 3, hd] splits locally.
-  w13 [D, 2F]: column pairs (w1_f, w3_f) — any contiguous column shard holds
-    matching gate/up pairs; reshape [..., F, 2] splits locally.
+Column order is PLAIN BLOCK CONCATENATION: wqkv = [Q | K | V], w13 =
+[w1 | w3]. The splits after the fused matmul are then contiguous lane
+slices, which XLA lowers to (near-)free views. (The first design
+interleaved columns — per-head [q_h|k_h|v_h], (w1_f, w3_f) pairs — so that
+*contiguous* tensor-parallel shards stayed correct; profiling showed the
+w13 de-interleave reshape [..., F, 2] put a size-2 axis in the lane
+dimension and cost ~12 us of relayout per layer per decode step. Block
+order moves the tp complexity to load time instead: parallel/sharding.py
+repermutes the fused columns into per-shard blocks [Q_s|K_s|V_s] /
+[w1_s|w3_s] before device_put, so each shard_map shard still splits
+locally with the same slice code.)
 
 Fusion operates directly on the packed device-layout planes: split-K packing
 is along K only, so fusing along N is pure column reordering — no unpacking.
@@ -20,40 +25,52 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..quant.tensor import (
-    QBLOCK, QuantMatmulWeight, good_pad_k, pack_codes_split_k, pad_multiple,
+    QBLOCK, QuantMatmulWeight, good_pad_k, good_pad_n, pack_codes_split_k,
+    pad_multiple,
 )
 
 
 def qkv_col_order(n_head: int, hd: int) -> np.ndarray:
-    """Column permutation: [q|k|v] blocks -> per-head [q_h|k_h|v_h]."""
-    d = n_head * hd
-    order = np.empty(3 * d, np.int64)
-    pos = 0
-    for h in range(n_head):
-        for part in range(3):
-            start = part * d + h * hd
-            order[pos:pos + hd] = np.arange(start, start + hd)
-            pos += hd
-    return order
+    """Fused column order: plain [Q | K | V] blocks (identity over the
+    concatenation — see module docstring for why not per-head interleave)."""
+    return np.arange(3 * n_head * hd, dtype=np.int64)
 
 
 def w13_col_order(n_ff: int) -> np.ndarray:
-    """Column permutation: [w1|w3] blocks -> pairs (w1_f, w3_f)."""
-    order = np.empty(2 * n_ff, np.int64)
-    order[0::2] = np.arange(n_ff)
-    order[1::2] = np.arange(n_ff) + n_ff
+    """Fused column order: plain [w1 | w3] blocks."""
+    return np.arange(2 * n_ff, dtype=np.int64)
+
+
+def shard_col_order(n_total: int, n_parts: int, tp: int) -> np.ndarray:
+    """Permutation taking the block-fused layout [P0 | P1 | ...] (n_parts
+    equal blocks of width n_total/n_parts) to per-shard blocks
+    [P0_s0 | P1_s0 | ... | P0_s1 | ...], so that a CONTIGUOUS 1/tp column
+    slice (what NamedSharding hands each device) holds every part's s-th
+    column range and the shard-local split code stays identical to the
+    single-device path."""
+    width = n_total // n_parts
+    if width % tp:
+        raise ValueError(f"part width {width} not divisible by tp={tp}")
+    w_loc = width // tp
+    order = np.empty(n_total, np.int64)
+    pos = 0
+    for s in range(tp):
+        for part in range(n_parts):
+            start = part * width + s * w_loc
+            order[pos:pos + w_loc] = np.arange(start, start + w_loc)
+            pos += w_loc
     return order
 
 
 def _pad_packed(qs: np.ndarray, scales: np.ndarray, k_logical: int,
-                pad_n: int = 256, pad_code: int = 0x88):
+                pad_n: int = 0, pad_code: int = 0x88):
     """Pad packed planes to tile-friendly dims with inert values (K via
     good_pad_k auto-padding). pad_code 0x88 (code 8 = value 0) for symmetric
     q4_0; 0x00 for affine weights whose padding is made inert by zero scales
     *and* zero mins."""
     kh, n = qs.shape
     k_pad = good_pad_k(k_logical)
-    n_pad = pad_multiple(n, pad_n)
+    n_pad = good_pad_n(n) if not pad_n else pad_multiple(n, pad_n)
     if (k_pad // 2, n_pad) == (kh, n):
         return qs, scales
     out_qs = np.full((k_pad // 2, n_pad), pad_code, np.uint8)
@@ -64,11 +81,11 @@ def _pad_packed(qs: np.ndarray, scales: np.ndarray, k_logical: int,
 
 
 def _pad_packed_plane(plane: np.ndarray, k_logical: int,
-                      pad_n: int = 256):
+                      pad_n: int = 0):
     """Zero-pad a [K/32, N] plane to the padded dims."""
     nb, n = plane.shape
     k_pad = good_pad_k(k_logical)
-    n_pad = pad_multiple(n, pad_n)
+    n_pad = good_pad_n(n) if not pad_n else pad_multiple(n, pad_n)
     if (k_pad // QBLOCK, n_pad) == (nb, n):
         return plane, None
     out = np.zeros((k_pad // QBLOCK, n_pad), plane.dtype)
@@ -174,15 +191,20 @@ def make_layer_params(n_head: int, *, attention_norm, ffn_norm,
 
 
 def split_qkv(y, n_head: int):
-    """[B, T, 3*h*hd] fused output -> (q, k, v) each [B, T, h, hd]."""
+    """[B, T, 3*h*hd] fused [Q|K|V] output -> (q, k, v) each [B, T, h, hd].
+    Contiguous lane slices (head boundaries are 128-aligned for hd=128)."""
     b, t, n3 = y.shape
-    hd = n3 // (3 * n_head)
-    y = y.reshape(b, t, n_head, 3, hd)
-    return y[..., 0, :], y[..., 1, :], y[..., 2, :]
+    d = n3 // 3
+    hd = d // n_head
+    q = y[..., :d].reshape(b, t, n_head, hd)
+    k = y[..., d:2 * d].reshape(b, t, n_head, hd)
+    v = y[..., 2 * d:].reshape(b, t, n_head, hd)
+    return q, k, v
 
 
 def split_w13(y):
-    """[B, T, 2F] fused output -> (gate, up) each [B, T, F]."""
-    b, t, f2 = y.shape
-    y = y.reshape(b, t, f2 // 2, 2)
-    return y[..., 0], y[..., 1]
+    """[B, T, 2F] fused [w1|w3] output -> (gate, up) each [B, T, F].
+    A contiguous half-split — the (w1_f, w3_f)-pair layout this replaces
+    cost ~12 us/layer/step of lane relayout (size-2 lane axis)."""
+    f = y.shape[-1] // 2
+    return y[..., :f], y[..., f:]

@@ -269,10 +269,13 @@ def _flash_prefill_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
 
 def _attention(x: jax.Array, layer: LayerParams, positions: jax.Array,
-               kv: KVPair, cfg: ForwardConfig):
+               kv: KVPair, cfg: ForwardConfig,
+               rope_ls: "tuple[jax.Array, jax.Array] | None" = None):
     """Self-attention for one layer.
 
     x: [B, T, D]; positions: [B, T] absolute; kv: ([B,S,H*Dh], [B,S,H*Dh]).
+    rope_ls: decode-path per-lane RoPE tables (cos, sin) from
+    rope_lane_tables, computed once per step in `forward`.
     Returns (attn_out [B, T, D], new kv pair).
     """
     b, t, d = x.shape
@@ -281,6 +284,31 @@ def _attention(x: jax.Array, layer: LayerParams, positions: jax.Array,
     s = kv_k.shape[1]
 
     qkv = apply_linear(x, layer.wqkv, cfg)
+
+    if (rope_ls is not None and t == 1
+            and layer.lora_wq is None and layer.lora_wk is None
+            and layer.lora_wv is None
+            and cfg.w_jdtype != jnp.float32
+            and jax.default_backend() == "tpu"):
+        # Fully-fused decode attention: RoPE(q,k) + in-place cache write +
+        # attention in ONE kernel consuming the raw fused qkv (the kernel
+        # windows out q/k/v itself — no split_qkv, no rope relayouts, no
+        # separate dynamic_update_slice; see kernels/decode_attention.py).
+        import math
+        hd = qkv.shape[-1] // (3 * h)
+        if decode_attn_supported(s, hd):
+            from ..kernels.decode_attention import decode_attention_fused
+            ctx, kv_k, kv_v = decode_attention_fused(
+                qkv, kv_k, kv_v, positions[:, 0], rope_ls[0], rope_ls[1],
+                head_dim=hd, n_rot=cfg.n_rot, scale=1.0 / math.sqrt(hd))
+            ctx = ctx.astype(cfg.act_jdtype)
+            out = apply_linear(ctx, layer.wo, cfg)
+            if layer.lora_wo is not None:
+                out = out + apply_lora(ctx, layer.lora_wo)
+            if cfg.tp_axis is not None:
+                out = jax.lax.psum(out, cfg.tp_axis)
+            return out.astype(cfg.act_jdtype), (kv_k, kv_v)
+
     q, k, v = split_qkv(qkv, h)
     hd = q.shape[-1]
     if layer.lora_wq is not None:
@@ -397,10 +425,21 @@ def forward(params: LlamaParams, tokens: jax.Array, n_past: jax.Array,
 
     x = embed_tokens(params.tok_embeddings, tokens, act_dtype, cfg)
 
+    # Decode-path RoPE tables, shared by every layer's fused attention
+    # kernel (one tiny XLA chain per step instead of 2 rope chains/layer).
+    rope_ls = None
+    if t == 1 and jax.default_backend() == "tpu" and cfg.w_jdtype != jnp.float32:
+        from ..kernels.decode_attention import rope_lane_tables
+        w0 = params.layers[0].wqkv
+        n3 = (min(w0.n_logical, w0.qs.shape[1])
+              if isinstance(w0, QuantMatmulWeight) else w0.shape[1])
+        hd0 = n3 // (3 * cfg.n_head)
+        rope_ls = rope_lane_tables(positions[:, 0], hd0, cfg.n_rot)
+
     new_kv: list[KVPair] = []
     for layer, kv in zip(params.layers, kv_caches):
         attn_in = rms_norm(x, layer.attention_norm, cfg.rms_eps)
-        attn_out, kv = _attention(attn_in, layer, positions, kv, cfg)
+        attn_out, kv = _attention(attn_in, layer, positions, kv, cfg, rope_ls)
         new_kv.append(kv)
         x = x + attn_out
         ffn_in = rms_norm(x, layer.ffn_norm, cfg.rms_eps)

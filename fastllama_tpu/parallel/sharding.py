@@ -28,6 +28,7 @@ import dataclasses
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -102,6 +103,33 @@ def params_pspec_tree(params: LlamaParams) -> LlamaParams:
     )
 
 
+def _model_sharded_already(w) -> bool:
+    """True when a fused weight already carries a model-axis NamedSharding —
+    i.e. shard_params ran before (re-sharding after LoRA attach must not
+    re-permute the columns a second time)."""
+    from ..quant.tensor import QuantMatmulWeight
+    arr = w.qs if isinstance(w, QuantMatmulWeight) else w
+    s = getattr(arr, "sharding", None)
+    return isinstance(s, NamedSharding) and MODEL_AXIS in jax.tree.leaves(
+        tuple(s.spec))
+
+
+def _permute_cols(w, order: np.ndarray):
+    """Gather columns of a fused weight (packed planes or dense) into the
+    per-shard block order (models/fuse.shard_col_order): NamedSharding hands
+    each device a contiguous 1/tp column slice, so the fused [Q|K|V] /
+    [w1|w3] blocks must be re-laid as [Q_s|K_s|V_s | Q_s+1|...] first."""
+    from ..quant.tensor import QuantMatmulWeight
+    idx = jnp.asarray(order)
+    if isinstance(w, QuantMatmulWeight):
+        return QuantMatmulWeight(
+            qs=jnp.take(w.qs, idx, axis=1),
+            scales=jnp.take(w.scales, idx, axis=1),
+            mins=None if w.mins is None else jnp.take(w.mins, idx, axis=1),
+            n_logical=w.n_logical)
+    return jnp.take(w, idx, axis=1)
+
+
 def _strip_k_pad(w, k_logical: int):
     """Remove pack-time K padding (quant/tensor.good_pad_k) from a weight
     about to be reduction-sharded: the inert rows sit at the END of the
@@ -117,32 +145,56 @@ def _strip_k_pad(w, k_logical: int):
         n_logical=w.n_logical)
 
 
+def _strip_n_pad(w):
+    """Sharded quant weights must be unpadded in N: the static n_logical aux
+    cannot follow the shards (q4_matmul then trusts local shard widths), and
+    a column split must land on real data. Pack-time N padding
+    (quant/tensor.good_pad_n) sits at the END of N, so slicing it off is
+    safe — single-device runs keep the padding for its bigger lane tiles."""
+    from ..quant.tensor import QuantMatmulWeight
+    if not isinstance(w, QuantMatmulWeight) or w.n_padded == w.n_logical:
+        return w
+    n = w.n_logical
+    if n % 256:
+        raise ValueError(
+            f"cannot shard a quant weight with n_logical={n} (not a "
+            f"multiple of 256 — the column shards would be lane-misaligned)")
+    return QuantMatmulWeight(
+        qs=w.qs[:, :n], scales=w.scales[:, :n],
+        mins=None if w.mins is None else w.mins[:, :n], n_logical=n)
+
+
 def shard_params(params: LlamaParams, mesh: Mesh) -> LlamaParams:
     """device_put every leaf with its NamedSharding (weights pre-sharded)."""
     from ..quant.tensor import QuantMatmulWeight
 
-    # Sharded quant weights must be unpadded in N: the static n_logical aux
-    # cannot follow the shards (q4_matmul then trusts local shard widths).
-    for leaf in jax.tree.leaves(
-            params, is_leaf=lambda x: isinstance(x, QuantMatmulWeight)):
-        if isinstance(leaf, QuantMatmulWeight) and leaf.n_padded != leaf.n_logical:
-            raise ValueError(
-                f"cannot shard an N-padded quant weight "
-                f"({leaf.n_logical} padded to {leaf.n_padded}); choose dims "
-                f"that are multiples of 256")
-
     # Reduction-sharded weights (wo: K=n_embd, w2: K=n_ff) must shed their
-    # pack-time K padding before the model-axis split.
+    # pack-time K padding before the model-axis split; output-sharded fused
+    # weights get their columns re-laid into per-shard blocks so contiguous
+    # NamedSharding slices carry [Q_s|K_s|V_s] / [w1_s|w3_s].
+    from ..models.fuse import shard_col_order
+    tp = mesh.shape[MODEL_AXIS]
     layers = []
     for layer in params.layers:
         n_embd = layer.attention_norm.shape[0]
         w13 = layer.w13
         n_ff = (w13.n_logical if isinstance(w13, QuantMatmulWeight)
                 else w13.shape[1]) // 2
+        wqkv = layer.wqkv
+        if tp > 1 and not _model_sharded_already(wqkv):
+            wqkv = _permute_cols(_strip_n_pad(wqkv),
+                                 shard_col_order(3 * n_embd, 3, tp))
+        if tp > 1 and not _model_sharded_already(w13):
+            w13 = _permute_cols(_strip_n_pad(w13),
+                                shard_col_order(2 * n_ff, 2, tp))
         layers.append(dataclasses.replace(
-            layer, wo=_strip_k_pad(layer.wo, n_embd),
-            w2=_strip_k_pad(layer.w2, n_ff)))
-    params = dataclasses.replace(params, layers=layers)
+            layer, wqkv=wqkv, w13=w13,
+            wo=_strip_k_pad(_strip_n_pad(layer.wo), n_embd),
+            w2=_strip_k_pad(_strip_n_pad(layer.w2), n_ff)))
+    output = params.output
+    if tp > 1 and not _model_sharded_already(output):
+        output = _strip_n_pad(output)
+    params = dataclasses.replace(params, layers=layers, output=output)
     specs = params_pspec_tree(params)
     shardings = jax.tree.map(
         lambda s: NamedSharding(mesh, s), specs,

@@ -173,6 +173,25 @@ def good_pad_k(k: int) -> int:
     return k0
 
 
+def good_pad_n(n: int) -> int:
+    """Smallest stored N >= n (multiple of 256) whose Pallas N tile is the
+    full 1024 lanes, capped at +3% inert columns.
+
+    Awkward N dims settle for narrow tiles otherwise — 7B's fused w13
+    (N=22016) only divides by 512 (553 GB/s measured) and the 32000-vocab
+    head only by 256 (544 GB/s), vs 587 GB/s at bn=1024. Padding to
+    22528 / 32768 (+2.3% bytes each) nets ~120 us/step at 7B decode.
+    Sharded weights shed this padding (shard_params strips to n_logical:
+    shards need exact local widths)."""
+    n0 = pad_multiple(n, 256)
+    cand = n0
+    while cand <= n0 + int(n0 * 0.03):
+        if cand % 1024 == 0:
+            return cand
+        cand += 256
+    return n0
+
+
 def pack_codes_split_k(codes_t: np.ndarray) -> np.ndarray:
     """[K, N] uint8 codes -> [K/2, N] split-K packed bytes."""
     k, n = codes_t.shape
@@ -183,7 +202,7 @@ def pack_codes_split_k(codes_t: np.ndarray) -> np.ndarray:
 
 def make_matmul_weight(codes: np.ndarray, scales: np.ndarray,
                        scale_dtype: Any = np.float32,
-                       pad_k: int = 0, pad_n: int = 256) -> QuantMatmulWeight:
+                       pad_k: int = 0, pad_n: int = 0) -> QuantMatmulWeight:
     """Build the device layout from row-major quantizer output.
 
     Args:
@@ -198,7 +217,7 @@ def make_matmul_weight(codes: np.ndarray, scales: np.ndarray,
     """
     n, k = codes.shape
     k_pad = good_pad_k(k) if not pad_k else pad_multiple(k, pad_k)
-    n_pad = pad_multiple(n, pad_n)
+    n_pad = good_pad_n(n) if not pad_n else pad_multiple(n, pad_n)
     codes_t = np.full((k_pad, n_pad), 8, np.uint8)
     codes_t[:k, :n] = np.asarray(codes, np.uint8).T
     scales_t = np.zeros((k_pad // QBLOCK, n_pad), np.float32)
@@ -210,14 +229,14 @@ def make_matmul_weight(codes: np.ndarray, scales: np.ndarray,
 
 
 def matmul_weight_from_planes(qs: np.ndarray, scales: np.ndarray,
-                              pad_k: int = 0, pad_n: int = 256
+                              pad_k: int = 0, pad_n: int = 0
                               ) -> QuantMatmulWeight:
     """Build from unpadded device-layout planes (qs [K/2, N], scales
     [K/32, N]), applying inert tile padding (pad_k=0 = auto, good_pad_k)."""
     kh, n = qs.shape
     k = kh * 2
     k_pad = good_pad_k(k) if not pad_k else pad_multiple(k, pad_k)
-    n_pad = pad_multiple(n, pad_n)
+    n_pad = good_pad_n(n) if not pad_n else pad_multiple(n, pad_n)
     if (k_pad, n_pad) != (k, n):
         out_qs = np.full((k_pad // 2, n_pad), 0x88, np.uint8)
         out_qs[:kh, :n] = qs
@@ -286,7 +305,7 @@ def make_matmul_weight_q41(codes: np.ndarray, scales: np.ndarray,
     codes=0, d=0, m=0; pad_k=0 = auto, good_pad_k)."""
     n, k = codes.shape
     k_pad = good_pad_k(k) if not pad_k else pad_multiple(k, pad_k)
-    n_pad = pad_multiple(n, pad_n)
+    n_pad = good_pad_n(n) if not pad_n else pad_multiple(n, pad_n)
     codes_t = np.zeros((k_pad, n_pad), np.uint8)
     codes_t[:k, :n] = np.asarray(codes, np.uint8).T
     scales_t = np.zeros((k_pad // QBLOCK, n_pad), np.float32)

@@ -20,6 +20,9 @@ the per-call ~25 ms dispatch and the fori_loop slowdown (CLAUDE.md).
 import functools
 import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp
@@ -28,8 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from fastllama_tpu.kernels.q4_matmul import (
-    _pick_tile, _pick_tile_k, q4_matmul_pallas, split_activation)
-from fastllama_tpu.quant.q4 import QBLOCK
+    QBLOCK, _pick_tile, _pick_tile_k, q4_matmul_pallas, split_activation)
 
 
 def _floor_kernel(x_lo_ref, qs_ref, out_ref):
@@ -87,25 +89,35 @@ def _run(x, qs, scales, mode):
     if mode == "nosc":
         return pl.pallas_call(_nosc_kernel, in_specs=[x_spec, x_spec, qs_spec],
                               **common)(x_lo, x_hi, qs)
-    return q4_matmul_pallas(x, qs, scales)
+    return q4_matmul_pallas(x, qs, scales, variant=mode)
 
 
 def time_mode(mode, x, qs, scales, reps=64, trials=3):
-    @jax.jit
-    def chain(x):
-        for _ in range(reps):
-            y = _run(x, qs, scales, mode)
-            x = x + y[:, :1]           # data dependence
-        return x
+    """SLOPE method (CLAUDE.md): wall time of one blocking chain includes a
+    ~50 ms fixed dispatch+readback cost on the tunnel, so time chains of R
+    and 3R inlined calls and divide the difference by 2R."""
+    def make_chain(r):
+        @jax.jit
+        def chain(x):
+            # data dependence through x so CSE can't collapse the calls
+            for _ in range(r):
+                y = _run(x, qs, scales, mode)
+                x = (x + y[:, :1]).astype(x.dtype)
+            return x
+        return chain
 
-    chain(x).block_until_ready()      # compile
-    best = 1e9
-    for _ in range(trials):
-        t0 = time.perf_counter()
-        r = chain(x)
-        _ = float(np.asarray(r)[0, 0])   # true sync
-        best = min(best, (time.perf_counter() - t0) / reps)
-    return best
+    c1, c3 = make_chain(reps), make_chain(3 * reps)
+
+    def wall(fn):
+        fn(x).block_until_ready()     # compile
+        best = 1e9
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            _ = float(np.asarray(fn(x))[0, 0])   # true sync
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (wall(c3) - wall(c1)) / (2 * reps)
 
 
 def main():
@@ -120,8 +132,10 @@ def main():
 
     qs_bytes = k // 2 * n
     sc_bytes = k // QBLOCK * n * 4
-    for mode, byt in (("floor", qs_bytes), ("nosc", qs_bytes),
-                      ("real", qs_bytes + sc_bytes)):
+    modes = sys.argv[4].split(",") if len(sys.argv) > 4 else [
+        "floor", "nosc", "v1", "v3"]
+    for mode in modes:
+        byt = qs_bytes if mode in ("floor", "nosc") else qs_bytes + sc_bytes
         dt = time_mode(mode, x, qs, scales)
         print(f"{mode:6s}: {dt*1e6:8.1f} us  {byt/dt/1e9:7.1f} GB/s "
               f"(ideal@819: {byt/819e9*1e6:.1f} us)")
