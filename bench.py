@@ -49,9 +49,12 @@ def main() -> int:
 
     def decode_step(params, tok, n_past, kv):
         logits, kv, _ = forward(params, tok, n_past, kv, cfg)
-        # greedy next token on device — no host roundtrip in the loop
+        # greedy next token on device — no host roundtrip in the loop; the
+        # position counter also advances ON DEVICE (a fresh jnp.int32(host
+        # int) per step costs an H2D transfer over the tunnel, measured
+        # ~0.5 ms/step of dispatch overhead)
         nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)[:, None]
-        return nxt, kv
+        return nxt, n_past + 1, kv
 
     step = jax.jit(decode_step, donate_argnums=(3,))
 
@@ -66,15 +69,14 @@ def main() -> int:
         return int(np.asarray(tok)[0, 0])
 
     t0 = time.time()
-    tok, kv = step(params, tok, jnp.int32(0), kv)
+    n_past = jnp.int32(0)
+    tok, n_past, kv = step(params, tok, n_past, kv)
     sync(tok)
     log(f"decode step compiled in {time.time() - t0:.1f}s")
 
     # warmup
-    n_past = 1
     for _ in range(5):
-        tok, kv = step(params, tok, jnp.int32(n_past), kv)
-        n_past += 1
+        tok, n_past, kv = step(params, tok, n_past, kv)
     sync(tok)
 
     # measure the tunnel readback floor on an already-materialized token
@@ -89,8 +91,7 @@ def main() -> int:
     iters = 64
     t0 = time.time()
     for _ in range(iters):
-        tok, kv = step(params, tok, jnp.int32(n_past), kv)
-        n_past += 1
+        tok, n_past, kv = step(params, tok, n_past, kv)
     sync(tok)
     dt = (time.time() - t0) - floor
     tps = iters / dt

@@ -34,6 +34,14 @@ from ..quant.tensor import QBLOCK, QuantMatmulWeight, dequant_matmul_weight
 
 HALF = QBLOCK // 2  # 16
 
+# Mosaic's default scoped-VMEM budget is 16 MB. Raising it via
+# CompilerParams(vmem_limit_bytes=...) admits whole-K tiles (faster in
+# kernel-only microbenches) but ALSO changes the compiler's operand layout
+# choices: with a 100 MB limit the same kernels provoked ~1.9 us/slice
+# relayout DMAs around every call (+470 us/step at 7B) even at the default
+# tiling. Keep the default budget.
+_VMEM_LIMIT = None
+
 
 def _dot_precision(w_dtype):
     """f32 weights (parity/test mode) must not be silently downcast by the
@@ -53,9 +61,20 @@ def _pick_tile(dim: int, cap: int = 1024, unit: int = 128) -> int:
     return best or dim
 
 
-def _pick_tile_k(k: int, cap: int = 2816) -> int:
+def _pick_tile_k(k: int, cap: int = 2816, n: int = 0) -> int:
     """K tile: multiple of 256 (so K/2 tiles are 128-lane aligned in the
-    packed plane) dividing k, as large as possible up to cap."""
+    packed plane) dividing k, as large as possible up to cap.
+
+    K > 4096 saw no gain from bk > 2816 (11264: 49.2 us at
+    2816/5632/11264 alike). The `n` arg is kept for tile policies that
+    depend on output width (see NOTE below)."""
+    # NOTE: whole-K single-step tiles (bk=k at k<=4096, via the VMEM-limit
+    # raise) measured FASTER in kernel-only terms — (4096, 22528) 90.8 vs
+    # 98.3 us, (4096, 32768) 129.6 vs 142.8 — but in-engine they provoke
+    # ~1.9 us/slice operand-relayout DMAs around every call (268/step,
+    # +476 us) that eat the gain; a mixed config (whole-K only for wide N)
+    # measured worse still (+363 us vs baseline). Keep capped multi-step
+    # tiling until the relayout cause is understood.
     return _pick_tile(k, cap=cap, unit=256)
 
 
@@ -335,7 +354,7 @@ def q41_matmul_pallas(x: jax.Array, qs: jax.Array, scales: jax.Array,
     kh, n = qs.shape
     assert kh * 2 == k, (x.shape, qs.shape)
     bn = block_n or _pick_tile(n)
-    bk = block_k or _pick_tile_k(k)
+    bk = block_k or _pick_tile_k(k, n=n)
     grid = (n // bn, k // bk)
     x_lo, x_hi = split_activation(x)
     bsum = x.astype(jnp.float32).reshape(m, k // QBLOCK, QBLOCK).sum(-1).T
@@ -356,7 +375,8 @@ def q41_matmul_pallas(x: jax.Array, qs: jax.Array, scales: jax.Array,
         out_specs=pl.BlockSpec((m, bn), lambda i, kk: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(x_lo, x_hi, bsum, qs, scales, mins)
 
@@ -383,7 +403,7 @@ def q4_matmul_pallas(x: jax.Array, qs: jax.Array, scales: jax.Array,
     assert kh * 2 == k, (x.shape, qs.shape)
 
     bn = block_n or _pick_tile(n)
-    bk = block_k or _pick_tile_k(k)
+    bk = block_k or _pick_tile_k(k, n=n)
     grid = (n // bn, k // bk)
 
     x_lo, x_hi = split_activation(x)
@@ -405,7 +425,8 @@ def q4_matmul_pallas(x: jax.Array, qs: jax.Array, scales: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=cost,
         interpret=interpret,
     )
@@ -465,7 +486,7 @@ def pallas_shapes_supported(k: int, n: int) -> bool:
     equal to the full array dims. Small/unaligned models (tests, exotic
     shards) fall back to the XLA path."""
     bn = _pick_tile(n)
-    bk = _pick_tile_k(k)
+    bk = _pick_tile_k(k, n=n)
     kh = k // 2
     bkh = bk // 2
     ok_x = (bkh % 128 == 0) or (bkh == kh)           # x_lo/x_hi last dim
