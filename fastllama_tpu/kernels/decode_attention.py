@@ -166,92 +166,37 @@ def _swap_matrix(d: int, n_rot: int, dtype):
     return jnp.where(cols < n_rot, swapped, ident)
 
 
-def _fused_kernel(npast_ref, cos_ref, sin_ref, q_ref, k_ref, v_ref,
-                  kc_ref, vc_ref, o_ref, kout_ref, vout_ref, *,
-                  scale, n_rot):
+def _fused_kernel_grouped(npast_ref, cos_ref, sin_ref, q_ref, k_ref, v_ref,
+                          kc_ref, vc_ref, o_ref, kout_ref, vout_ref, *,
+                          scale, n_rot, g):
+    """Head-grouped cell: grid (B, H//g); each cell ropes/writes/attends g
+    heads (static unrolled loop) over its [S, g*d] cache window. g trades
+    per-cell pipeline overhead (small g -> many cells; B=8 g=1 measured
+    5.35 ms/layer-set vs a 2.6 ms DMA floor) against VMEM (the window is
+    double-buffered across cells; g=h at B=1 is a single cell and may fill
+    VMEM entirely)."""
     b = pl.program_id(0)
+    gi = pl.program_id(1)
     s = kc_ref.shape[1]
-    d = q_ref.shape[2]
-    np_b = npast_ref[b]
-    np_w = jnp.clip(np_b, 0, s - 1)          # write row (clamped for safety)
-
-    cos = cos_ref[0][None, :]                # [1, d]
-    sin = sin_ref[0][None, :]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, d), 1)
-    even = lane % 2 == 0
-
-    def rope(x):                             # x [1, d] f32
-        # lane partner x[l^1] via two 1-lane rotates + select (pltpu.roll);
-        # an MXU swap-matrix pass here measured ~7 us/layer slower — three
-        # extra tiny dots per grid cell pipeline poorly.
-        partner = jnp.where(even, pltpu.roll(x, d - 1, 1),
-                            pltpu.roll(x, 1, 1))
-        return x * cos + partner * sin
-
-    q = rope(q_ref[0].astype(jnp.float32))   # [1, d]
-    k_new = rope(k_ref[0].astype(jnp.float32))
-    v_new = v_ref[0].astype(jnp.float32)     # [1, d]
-
-    # blend the roped K / raw V into the 8-row cache group at row np_w % 8
-    r = np_w % kout_ref.shape[1]
-    sel = jax.lax.broadcasted_iota(jnp.int32, (1, kout_ref.shape[1], 1), 1) == r
-    g0 = (np_w // kout_ref.shape[1]) * kout_ref.shape[1]
-    k_grp = kc_ref[0, pl.ds(g0, kout_ref.shape[1]), :]
-    v_grp = vc_ref[0, pl.ds(g0, kout_ref.shape[1]), :]
-    kout_ref[:] = jnp.where(sel, k_new[:, None, :].astype(kout_ref.dtype),
-                            k_grp[None])
-    vout_ref[:] = jnp.where(sel, v_new[:, None, :].astype(vout_ref.dtype),
-                            v_grp[None])
-
-    # attention: rows < n_past from the old cache, new token folded in
-    k = kc_ref[0].astype(jnp.float32)        # [S, d]
-    scores = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale   # [1, S]
-    pos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-    mask = pos < np_b
-    scores = jnp.where(mask, scores, jnp.float32(-1e30))
-    s_new = jnp.sum(q * k_new, axis=-1, keepdims=True) * scale   # [1, 1]
-
-    m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), s_new)
-    p = jnp.where(mask, jnp.exp(scores - m), 0.0)
-    e_new = jnp.exp(s_new - m)
-    l = jnp.sum(p, axis=-1, keepdims=True) + e_new
-
-    v = vc_ref[0].astype(jnp.float32)
-    ctx = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)           # [1, d]
-    o_ref[0] = (ctx + e_new * v_new) / l
-
-
-def _fused_kernel_wide(npast_ref, cos_ref, sin_ref, qkv_ref, kc_ref, vc_ref,
-                       o_ref, kout_ref, vout_ref, *, scale, n_rot, h):
-    """Whole-row variant: grid (B,), one cell ropes/writes/attends ALL heads
-    (static unrolled head loop). Fewer grid cells -> less per-cell pipeline
-    overhead; the K/V row block is one big DMA instead of H per-head ones."""
-    b = pl.program_id(0)
-    s = kc_ref.shape[1]
-    f = kc_ref.shape[2]
-    d = f // h
+    fb = kc_ref.shape[2]                     # g * d
+    d = fb // g
     grp = kout_ref.shape[1]
     np_b = npast_ref[b]
     np_w = jnp.clip(np_b, 0, s - 1)
 
-    cos = cos_ref[0][None, :]                # [1, f] pre-tiled per head
-    sin = sin_ref[0][None, :]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, f), 1)
+    cos = cos_ref[0, gi][None, :]            # [1, g*d] (dynamic sublane pick)
+    sin = sin_ref[0, gi][None, :]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, fb), 1)
     even = lane % 2 == 0
 
-    def rope(x):                             # [1, f]; pairs never cross lanes
-        partner = jnp.where(even, pltpu.roll(x, f - 1, 1),
+    def rope(x):                             # [1, g*d]; pairs never cross heads
+        partner = jnp.where(even, pltpu.roll(x, fb - 1, 1),
                             pltpu.roll(x, 1, 1))
         return x * cos + partner * sin
 
-    qkv = qkv_ref[0].astype(jnp.float32)     # [1, 3f]
-    q = rope(qkv[:, :f])
-    k_new = rope(qkv[:, f:2 * f])
-    v_new = qkv[:, 2 * f:]
+    q = rope(q_ref[0].astype(jnp.float32))   # [1, g*d]
+    k_new = rope(k_ref[0].astype(jnp.float32))
+    v_new = v_ref[0].astype(jnp.float32)
 
     r = np_w % grp
     sel = jax.lax.broadcasted_iota(jnp.int32, (1, grp, 1), 1) == r
@@ -263,14 +208,19 @@ def _fused_kernel_wide(npast_ref, cos_ref, sin_ref, qkv_ref, kc_ref, vc_ref,
     vout_ref[:] = jnp.where(sel, v_new[:, None, :].astype(vout_ref.dtype),
                             v_grp[None])
 
-    for hi in range(h):
+    # The cache stays in ITS dtype for the dots (MXU takes bf16 natively
+    # with f32 accumulation — casting the whole [S, g*d] K and V to f32 on
+    # the VPU is wasted work); q/p are cast down to match instead.
+    kd = kc_ref.dtype
+    q_mx = q.astype(kd)
+    for hi in range(g):
         c = slice(hi * d, (hi + 1) * d)
         q_h = q[:, c]
         kn_h = k_new[:, c]
         vn_h = v_new[:, c]
-        k = kc_ref[0, :, c].astype(jnp.float32)        # [S, d]
+        k = kc_ref[0, :, c]                            # [S, d], cache dtype
         scores = jax.lax.dot_general(
-            q_h, k, (((1,), (1,)), ((), ())),
+            q_mx[:, c], k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
         pos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
         mask = pos < np_b
@@ -280,11 +230,24 @@ def _fused_kernel_wide(npast_ref, cos_ref, sin_ref, qkv_ref, kc_ref, vc_ref,
         p = jnp.where(mask, jnp.exp(scores - m), 0.0)
         e_new = jnp.exp(s_new - m)
         l = jnp.sum(p, axis=-1, keepdims=True) + e_new
-        v = vc_ref[0, :, c].astype(jnp.float32)
+        v = vc_ref[0, :, c]
         ctx = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p.astype(kd), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         o_ref[0, :, c] = (ctx + e_new * vn_h) / l
+
+
+def _pick_heads_per_cell(b: int, h: int, s: int, d: int, itemsize: int) -> int:
+    """Largest g (divisor of h) whose double-buffered [S, g*d] K+V windows
+    fit the 16 MB scoped-VMEM budget; a single cell (b==1, g==h) skips the
+    double buffering and may use more."""
+    per_head = 2 * s * d * itemsize          # K + V window bytes per head
+    if b == 1 and per_head * h <= 14 << 20:
+        return h
+    g = h
+    while g > 1 and per_head * g * 2 > 12 << 20:
+        g = max(dv for dv in range(1, g) if h % dv == 0)
+    return g
 
 
 @functools.partial(jax.jit, static_argnames=("head_dim", "n_rot", "scale",
@@ -294,6 +257,8 @@ def decode_attention_fused(qkv: jax.Array, k_cache: jax.Array,
                            cos: jax.Array, sin: jax.Array, *,
                            head_dim: int, n_rot: int, scale: float,
                            interpret: bool = False, wide: bool = True):
+    # wide=True (default): auto-pick heads per grid cell for VMEM
+    # (_pick_heads_per_cell). wide=False: force one head per cell.
     """One decode step's attention, fused: rope + cache write + attend.
 
     Args:
@@ -315,61 +280,39 @@ def decode_attention_fused(qkv: jax.Array, k_cache: jax.Array,
                  jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
                  jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype)]
 
-    if wide:
-        # grid (B,): one cell per sequence, unrolled head loop; cos/sin are
-        # tiled across heads on the host of the kernel (tiny [B, F] arrays).
-        cos = jnp.tile(cos, (1, h))
-        sin = jnp.tile(sin, (1, h))
+    g = _pick_heads_per_cell(b, h, s, d, jnp.dtype(k_cache.dtype).itemsize)
+    if not wide:
+        g = 1
+    ng = h // g
+    fb = g * d
 
-        def row_group_w(bi, np_ref):
-            return (bi, jnp.clip(np_ref[bi], 0, s - 1) // grp, 0)
+    # rope tables tiled across the cell's heads, grouped 3-D so the kernel
+    # can pick its group row (a (1, fb) block on a multi-row array is an
+    # illegal sublane-1 tile in Mosaic; the middle dim rides along whole).
+    cos3 = jnp.tile(cos, (1, h)).reshape(b, ng, fb)
+    sin3 = jnp.tile(sin, (1, h)).reshape(b, ng, fb)
 
-        kernel = functools.partial(_fused_kernel_wide, scale=scale,
-                                   n_rot=n_rot, h=h)
-        return pl.pallas_call(
-            kernel,
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
-                in_specs=[
-                    pl.BlockSpec((1, f), lambda bi, n: (bi, 0)),
-                    pl.BlockSpec((1, f), lambda bi, n: (bi, 0)),
-                    pl.BlockSpec((1, 1, 3 * f), lambda bi, n: (bi, 0, 0)),
-                    pl.BlockSpec((1, s, f), lambda bi, n: (bi, 0, 0)),
-                    pl.BlockSpec((1, s, f), lambda bi, n: (bi, 0, 0)),
-                ],
-                out_specs=[pl.BlockSpec((1, 1, f), lambda bi, n: (bi, 0, 0)),
-                           pl.BlockSpec((1, grp, f), row_group_w),
-                           pl.BlockSpec((1, grp, f), row_group_w)],
-                grid=(b,),
-            ),
-            out_shape=out_shape,
-            # operands: npast(0) cos(1) sin(2) qkv(3) k_cache(4) v_cache(5)
-            input_output_aliases={4: 1, 5: 2},
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel",)),
-            interpret=interpret,
-        )(n_past, cos, sin, qkv, k_cache, v_cache)
+    def row_group(bi, gi, np_ref):
+        return (bi, jnp.clip(np_ref[bi], 0, s - 1) // grp, gi)
 
-    def row_group(bi, hi, np_ref):
-        return (bi, jnp.clip(np_ref[bi], 0, s - 1) // grp, hi)
+    table_spec = pl.BlockSpec((1, ng, fb), lambda bi, gi, n: (bi, 0, 0))
+    q_spec = pl.BlockSpec((1, 1, fb), lambda bi, gi, n: (bi, 0, gi))
+    k_spec = pl.BlockSpec((1, 1, fb), lambda bi, gi, n: (bi, 0, gi + ng))
+    v_spec = pl.BlockSpec((1, 1, fb), lambda bi, gi, n: (bi, 0, gi + 2 * ng))
+    cache_spec = pl.BlockSpec((1, s, fb), lambda bi, gi, n: (bi, 0, gi))
+    out_grp_spec = pl.BlockSpec((1, grp, fb), row_group)
 
-    q_spec = pl.BlockSpec((1, 1, d), lambda bi, hi, n: (bi, 0, hi))
-    k_spec = pl.BlockSpec((1, 1, d), lambda bi, hi, n: (bi, 0, hi + h))
-    v_spec = pl.BlockSpec((1, 1, d), lambda bi, hi, n: (bi, 0, hi + 2 * h))
-    cache_spec = pl.BlockSpec((1, s, d), lambda bi, hi, n: (bi, 0, hi))
-    rope_spec = pl.BlockSpec((1, d), lambda bi, hi, n: (bi, 0))
-    out_grp_spec = pl.BlockSpec((1, grp, d), row_group)
-
-    kernel = functools.partial(_fused_kernel, scale=scale, n_rot=n_rot)
+    kernel = functools.partial(_fused_kernel_grouped, scale=scale,
+                               n_rot=n_rot, g=g)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            in_specs=[rope_spec, rope_spec, q_spec, k_spec, v_spec,
+            in_specs=[table_spec, table_spec, q_spec, k_spec, v_spec,
                       cache_spec, cache_spec],
-            out_specs=[pl.BlockSpec((1, 1, d), lambda bi, hi, n: (bi, 0, hi)),
+            out_specs=[pl.BlockSpec((1, 1, fb), lambda bi, gi, n: (bi, 0, gi)),
                        out_grp_spec, out_grp_spec],
-            grid=(b, h),
+            grid=(b, ng),
         ),
         out_shape=out_shape,
         # operands: npast(0) cos(1) sin(2) q(3) k(4) v(5) k_cache(6) v_cache(7)
@@ -377,4 +320,4 @@ def decode_attention_fused(qkv: jax.Array, k_cache: jax.Array,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel")),
         interpret=interpret,
-    )(n_past, cos, sin, qkv, qkv, qkv, k_cache, v_cache)
+    )(n_past, cos3, sin3, qkv, qkv, qkv, k_cache, v_cache)
