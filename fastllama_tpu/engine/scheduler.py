@@ -112,8 +112,11 @@ class BatchEngine:
         self.repeat_penalty, self.last_n_size = repeat_penalty, last_n
         self.kv_mode = kv_mode
         if drain_depth is None:
-            drain_depth = 2 if jax.default_backend() == "tpu" else 0
+            drain_depth = 4 if jax.default_backend() == "tpu" else 0
         self.drain_depth = drain_depth
+        # two-phase drain: (device array, entries) whose host copy is in
+        # flight (copy_to_host_async); consumed one drain cycle later
+        self._pending_drain = None
         # (tokens device array, per-slot rid snapshot) per launched step
         self._inflight: collections.deque[tuple[jax.Array, list[int]]] = \
             collections.deque()
@@ -557,20 +560,44 @@ class BatchEngine:
             (self.d_tokens,
              [s.req.rid if s.req is not None else -1 for s in self.slots]))
 
+    def _start_drain(self, count: int) -> None:
+        """Begin an ASYNC device->host copy of the `count` oldest in-flight
+        steps' tokens (one concatenated transfer). The copy crosses the
+        tunnel (~27 ms) while the device keeps decoding newer steps; a
+        later _consume_drain() turns it into emitted tokens with a
+        (by then) near-free np.asarray."""
+        entries = [self._inflight.popleft() for _ in range(count)]
+        if count == 1:
+            arr = entries[0][0]                            # [B, 1]
+        else:
+            arr = jnp.concatenate([e[0] for e in entries], axis=1)
+        try:
+            arr.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass                                           # fall back to sync
+        self._pending_drain = (arr, entries)
+
+    def _consume_drain(self) -> None:
+        if self._pending_drain is None:
+            return
+        arr, entries = self._pending_drain
+        self._pending_drain = None
+        self._emit_entries(np.asarray(arr), entries)
+
     def _drain(self, count: int) -> None:
-        """Read back the `count` oldest in-flight steps' tokens in ONE
-        device->host transfer and feed them to their requests, oldest first.
-        A blocking readback costs a fixed ~27 ms round-trip on the TPU
-        tunnel, so batching k steps amortizes it k-fold; the transfer also
-        overlaps with whatever steps are still queued on the device.
-        Entries are matched by request id: a slot re-admitted since the
-        launch never sees the old occupant's tokens."""
+        """Synchronous drain (idle flush): read back the `count` oldest
+        in-flight steps in ONE transfer and emit, oldest first. Entries are
+        matched by request id: a slot re-admitted since the launch never
+        sees the old occupant's tokens."""
         entries = [self._inflight.popleft() for _ in range(count)]
         if count == 1:
             toks = np.asarray(entries[0][0])               # [B, 1]
         else:
             toks = np.asarray(jnp.concatenate(
                 [e[0] for e in entries], axis=1))          # [B, count]
+        self._emit_entries(toks, entries)
+
+    def _emit_entries(self, toks: np.ndarray, entries) -> None:
         for j, (_, rids) in enumerate(entries):
             for i, slot in enumerate(self.slots):
                 if slot.req is not None and slot.req.rid == rids[i]:
@@ -586,14 +613,17 @@ class BatchEngine:
         have_active = any(s.req is not None for s in self.slots)
         if have_active:
             self._launch()
-        # hysteresis: let up to 2*depth steps bank, then drain `depth` of
-        # them in one readback — the device keeps computing the newer steps
-        # while the transfer is in flight. Once idle, flush everything.
+        # hysteresis: let up to 2*depth steps bank; each cycle first lands
+        # the PREVIOUS cycle's async transfer (its ~27 ms tunnel crossing
+        # overlapped the last `depth` device steps), then starts the next
+        # one. Once idle, flush everything synchronously.
         if not any(s.req is not None for s in self.slots):
+            self._consume_drain()
             if self._inflight:
                 self._drain(len(self._inflight))
         elif len(self._inflight) >= max(2 * self.drain_depth, 1):
-            self._drain(max(self.drain_depth, 1))
+            self._consume_drain()
+            self._start_drain(max(self.drain_depth, 1))
         return sum(1 for s in self.slots if s.req is not None)
 
     def run(self, requests: Sequence[Request]) -> list[Request]:
@@ -602,5 +632,6 @@ class BatchEngine:
             self.submit(r)
         while not all(r.done for r in requests):
             self.step()
+        self._pending_drain = None
         self._inflight.clear()
         return list(requests)

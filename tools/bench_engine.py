@@ -70,7 +70,9 @@ def main():
     n_tok = sum(len(r.tokens_out) for r in reqs)
     wall_tps = n_tok / wall
 
-    # device-step rate: launch N steps back-to-back, one readback at the end
+    # device-step rate: steady-state back-to-back launches (the first few
+    # iterations amortize pipeline fill + the final sync poorly, so warm
+    # with a short run, then time a long one)
     eng2 = BatchEngine(hp, params, vocab, n_slots=args.slots,
                        n_ctx=args.n_ctx, rcfg=rcfg, temp=0.8,
                        kv_mode=args.kv_mode, drain_depth=10 ** 6,
@@ -80,8 +82,11 @@ def main():
     for r in reqs2:
         eng2.submit(r)
     eng2._fill_idle_slots()
-    n_steps = 96
     _ = np.asarray(eng2.d_tokens)  # sync after prefill
+    for _ in range(8):
+        eng2._launch()
+    _ = np.asarray(eng2.d_tokens)
+    n_steps = 64
     t0 = time.perf_counter()
     for _ in range(n_steps):
         eng2._launch()
