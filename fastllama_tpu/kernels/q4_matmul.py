@@ -353,8 +353,8 @@ def q41_matmul_pallas(x: jax.Array, qs: jax.Array, scales: jax.Array,
     m, k = x.shape
     kh, n = qs.shape
     assert kh * 2 == k, (x.shape, qs.shape)
-    bn = block_n or _pick_tile(n)
-    bk = block_k or _pick_tile_k(k, n=n)
+    bn = block_n or _pick_tile(n, cap=_bn_cap(m))
+    bk = block_k or _pick_tile_k(k, cap=_bk_cap(m), n=n)
     grid = (n // bn, k // bk)
     x_lo, x_hi = split_activation(x)
     bsum = x.astype(jnp.float32).reshape(m, k // QBLOCK, QBLOCK).sum(-1).T
@@ -402,8 +402,8 @@ def q4_matmul_pallas(x: jax.Array, qs: jax.Array, scales: jax.Array,
     kh, n = qs.shape
     assert kh * 2 == k, (x.shape, qs.shape)
 
-    bn = block_n or _pick_tile(n)
-    bk = block_k or _pick_tile_k(k, n=n)
+    bn = block_n or _pick_tile(n, cap=_bn_cap(m))
+    bk = block_k or _pick_tile_k(k, cap=_bk_cap(m), n=n)
     grid = (n // bn, k // bk)
 
     x_lo, x_hi = split_activation(x)
@@ -461,9 +461,15 @@ def q4_matmul_xla(x: jax.Array, w: QuantMatmulWeight,
                    precision=_dot_precision(w_dtype))
 
 
-# Heuristic crossover: below this M the op is HBM-bound and the Pallas kernel
-# wins by never materializing dense weights; above it XLA's matmul pipeline
-# (which amortizes dequant across M) is at least as good.
+# Heuristic crossover: below this M the op is HBM-bound and the Pallas
+# kernel wins by never materializing dense weights; above it XLA's matmul
+# pipeline takes over. MEASURED (don't redo): the kernel at M=512 under
+# VMEM-safe (512, 2048) tiles ran the 7B prefill at 170.8 ms wall vs
+# XLA's 130 ms — the weight-stationary kernel re-reads x per N tile and
+# its VPU dequant can't amortize over M the way XLA's one-off dequant
+# (hoisted out of the M loop) does, even though XLA's prefill is only
+# ~37% MXU. A dedicated large-M kernel (x-stationary, output-tiled) is
+# the round-3 lead, not a tile tweak on this one.
 _PALLAS_MAX_M = 64
 
 
@@ -481,12 +487,23 @@ def _k_split_point(k: int) -> int | None:
     return k0
 
 
-def pallas_shapes_supported(k: int, n: int) -> bool:
+def _bn_cap(m: int) -> int:
+    """N tile cap: 1024 for decode-size M; 512 for prefill-size M so the
+    x/out tiles ([M, BK/2] / [M, BN]) still fit the 16 MB scoped-VMEM
+    budget (M=512 at (1024, 2048) tiles measured 18.9M and was rejected)."""
+    return 1024 if m <= 64 else 512
+
+
+def _bk_cap(m: int) -> int:
+    return 2816 if m <= 64 else 2048
+
+
+def pallas_shapes_supported(k: int, n: int, m: int = 8) -> bool:
     """Mosaic requires the last two block dims to be (8, 128)-divisible or
     equal to the full array dims. Small/unaligned models (tests, exotic
     shards) fall back to the XLA path."""
-    bn = _pick_tile(n)
-    bk = _pick_tile_k(k, n=n)
+    bn = _pick_tile(n, cap=_bn_cap(m))
+    bk = _pick_tile_k(k, cap=_bk_cap(m), n=n)
     kh = k // 2
     bkh = bk // 2
     ok_x = (bkh % 128 == 0) or (bkh == kh)           # x_lo/x_hi last dim
@@ -526,7 +543,7 @@ def q4_matmul(x: jax.Array, w: QuantMatmulWeight, *,
 
     if use_pallas is None:
         use_pallas = (jax.default_backend() == "tpu") and m <= _PALLAS_MAX_M
-    if use_pallas and not pallas_shapes_supported(k_stored, w.qs.shape[1]):
+    if use_pallas and not pallas_shapes_supported(k_stored, w.qs.shape[1], m):
         use_pallas = False
     if use_pallas:
         # Pad M up to the f32 sublane tile so tiny decode batches map cleanly.
