@@ -82,3 +82,7 @@ class RuntimeConfig:
     mesh_axes: tuple[str, ...] = ("data", "model")
     prefill_buckets: tuple[int, ...] = (16, 64, 128, 256, 512, 1024, 2048)
     use_pallas: bool | None = None    # None = auto
+    # Tracing (reference analog: ggml perf counters + graph_print): when
+    # set, FastLlama.generate / BatchEngine.run wrap their hot regions in
+    # jax.profiler traces under this directory (utils/trace.py).
+    profile_dir: str = ""

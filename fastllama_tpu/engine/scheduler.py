@@ -105,6 +105,7 @@ class BatchEngine:
         """
         self.hp = hp
         self.vocab = vocab
+        self.rcfg = rcfg
         self.n_slots = n_slots
         self.n_ctx = n_ctx
         self.logger = logger
@@ -628,10 +629,12 @@ class BatchEngine:
 
     def run(self, requests: Sequence[Request]) -> list[Request]:
         """Submit requests and run until all complete."""
+        from ..utils.trace import trace_region
         for r in requests:
             self.submit(r)
-        while not all(r.done for r in requests):
-            self.step()
+        with trace_region(self.rcfg.profile_dir, "engine_run"):
+            while not all(r.done for r in requests):
+                self.step()
         self._pending_drain = None
         self._inflight.clear()
         return list(requests)

@@ -21,15 +21,27 @@ import pytest
 jax.config.update("jax_platforms", "cpu")
 
 
+# Modules that compile large-dim programs (30B/65B shapes, sharded engines):
+# their executables + constants are what blow up the process footprint.
+_HEAVY_MODULES = {
+    "test_large_configs", "test_scheduler_mesh", "test_sharding",
+    "test_sharded_session", "test_engine", "test_scheduler",
+    "test_perplexity_gate",
+}
+
+
 @pytest.fixture(autouse=True, scope="module")
-def _bound_process_memory():
-    """Drop compiled executables + cached constants between test modules.
+def _bound_process_memory(request):
+    """Drop compiled executables + cached constants after heavy modules.
 
     The suite runs ~150 tests in ONE process, several of which compile
     30B/65B-dim sharded programs; without trimming, the jit caches
     accumulate until XLA's host allocator aborts mid-suite (observed as a
-    SIGABRT in a device->host transfer around the 140th test). Per-module
-    recompiles of the small shared kernels cost a few seconds total."""
+    SIGABRT in a device->host transfer around the 140th test). Clearing
+    after EVERY module ballooned the suite from ~7 to ~18 min in
+    recompiles of the shared small kernels, so only the heavy modules
+    clear."""
     yield
-    jax.clear_caches()
-    gc.collect()
+    if request.module.__name__ in _HEAVY_MODULES:
+        jax.clear_caches()
+        gc.collect()
