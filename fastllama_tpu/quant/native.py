@@ -7,6 +7,7 @@ implementation, so the framework works out of the box.
 from __future__ import annotations
 
 import ctypes
+import threading
 import os
 from pathlib import Path
 
@@ -18,7 +19,22 @@ _LIB = None
 _TRIED = False
 
 
+_LOAD_LOCK = threading.Lock()
+
+
 def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    with _LOAD_LOCK:
+        return _load_locked()
+
+
+def _load_locked():
+    """Under _LOAD_LOCK: the parallel loader calls _load from worker
+    threads; without the lock one thread could observe _TRIED=True while
+    _LIB is still None mid-initialization and fall back to the numpy
+    path — mixing repack kinds within one fused weight group."""
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
