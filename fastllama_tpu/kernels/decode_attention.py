@@ -240,9 +240,12 @@ def _fused_kernel_grouped(npast_ref, cos_ref, sin_ref, q_ref, k_ref, v_ref,
 def _pick_heads_per_cell(b: int, h: int, s: int, d: int, itemsize: int) -> int:
     """Largest g (divisor of h) whose double-buffered [S, g*d] K+V windows
     fit the 16 MB scoped-VMEM budget; a single cell (b==1, g==h) skips the
-    double buffering and may use more."""
+    double buffering and may use more — but only up to ~9 MB: at 13B
+    (10.5 MB single-cell windows) splitting to two cells measured 654 vs
+    860 us/step (pipelining beats the one giant DMA), while 7B (8.4 MB)
+    is fastest whole."""
     per_head = 2 * s * d * itemsize          # K + V window bytes per head
-    if b == 1 and per_head * h <= 14 << 20:
+    if b == 1 and per_head * h <= 9 << 20:
         return h
     g = h
     while g > 1 and per_head * g * 2 > 12 << 20:
