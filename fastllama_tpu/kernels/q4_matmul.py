@@ -468,8 +468,11 @@ def q4_matmul_xla(x: jax.Array, w: QuantMatmulWeight,
 # XLA's 130 ms — the weight-stationary kernel re-reads x per N tile and
 # its VPU dequant can't amortize over M the way XLA's one-off dequant
 # (hoisted out of the M loop) does, even though XLA's prefill is only
-# ~37% MXU. A dedicated large-M kernel (x-stationary, output-tiled) is
-# the round-3 lead, not a tile tweak on this one.
+# ~37% MXU. Whole-K large-M tiles (see _bk_cap) later got the isolated
+# kernel to 326 us at (512, 4096->12288) = 80% of the 262 us MXU ideal —
+# but the full prefill program with those tiles hits an opaque remote-
+# compiler crash (HTTP 500), so dispatch stays XLA above this M. The
+# large-M path is still reachable explicitly via use_pallas=True.
 _PALLAS_MAX_M = 64
 
 
@@ -495,7 +498,10 @@ def _bn_cap(m: int) -> int:
 
 
 def _bk_cap(m: int) -> int:
-    return 2816 if m <= 64 else 2048
+    """Large-M calls take the whole K when it divides (k<=4096): the out
+    tile is then written once instead of read-modify-written per k-step —
+    (512, 4096->12288) measured 326 us vs 416 at bk=2048 (MXU ideal 262)."""
+    return 2816 if m <= 64 else 4096
 
 
 def pallas_shapes_supported(k: int, n: int, m: int = 8) -> bool:
