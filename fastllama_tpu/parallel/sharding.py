@@ -164,6 +164,48 @@ def _strip_n_pad(w):
         mins=None if w.mins is None else w.mins[:, :n], n_logical=n)
 
 
+def _pad_per_shard(w, tp: int):
+    """Re-pad an OUT_SHARDED fused quant weight PER SHARD so every local
+    shard keeps large lane tiles.
+
+    Shard-local widths often lose the 1024-lane tile that the unsharded
+    weight had (7B w13 local 2*11008/4 = 5504 tiles at bn=128 — measured
+    catastrophic for the kernel's DMA pipeline). Each of the tp contiguous
+    column chunks gets its own inert tail padding (good_pad_n of the local
+    width), and n_logical becomes the LOCAL logical width: the aux cannot
+    differ per shard, but it doesn't need to — inside shard_map q4_matmul
+    sees local arrays, computes n_eff = min(n_logical, local_width) =
+    the local logical width, and slices the padding off before any
+    consumer sees it. The weight must not be used OUTSIDE shard_map after
+    this (the engine/runtime never do)."""
+    from ..quant.tensor import QBLOCK, QuantMatmulWeight, good_pad_n
+    if not isinstance(w, QuantMatmulWeight):
+        return w
+    n = w.n_logical
+    if n % tp:
+        raise ValueError(f"N={n} not divisible by tp={tp}")
+    w_loc = n // tp
+    n_pad = good_pad_n(w_loc)
+    if n_pad == w_loc:
+        return dataclasses.replace(w, n_logical=w_loc)
+    pad = n_pad - w_loc
+    affine = w.mins is not None
+    pad_code = 0x00 if affine else 0x88
+
+    def pad_chunks(plane, fill, dtype):
+        chunks = []
+        for s in range(tp):
+            chunks.append(plane[:, s * w_loc:(s + 1) * w_loc])
+            chunks.append(jnp.full((plane.shape[0], pad), fill, dtype))
+        return jnp.concatenate(chunks, axis=1)
+
+    return QuantMatmulWeight(
+        qs=pad_chunks(w.qs, pad_code, jnp.uint8),
+        scales=pad_chunks(w.scales, 0, w.scales.dtype),
+        mins=None if w.mins is None else pad_chunks(w.mins, 0, w.mins.dtype),
+        n_logical=w_loc)
+
+
 def shard_params(params: LlamaParams, mesh: Mesh) -> LlamaParams:
     """device_put every leaf with its NamedSharding (weights pre-sharded)."""
     from ..quant.tensor import QuantMatmulWeight
@@ -176,24 +218,28 @@ def shard_params(params: LlamaParams, mesh: Mesh) -> LlamaParams:
     tp = mesh.shape[MODEL_AXIS]
     layers = []
     for layer in params.layers:
-        n_embd = layer.attention_norm.shape[0]
-        w13 = layer.w13
-        n_ff = (w13.n_logical if isinstance(w13, QuantMatmulWeight)
-                else w13.shape[1]) // 2
-        wqkv = layer.wqkv
-        if tp > 1 and not _model_sharded_already(wqkv):
-            wqkv = _permute_cols(_strip_n_pad(wqkv),
-                                 shard_col_order(3 * n_embd, 3, tp))
-        if tp > 1 and not _model_sharded_already(w13):
-            w13 = _permute_cols(_strip_n_pad(w13),
-                                shard_col_order(2 * n_ff, 2, tp))
-        layers.append(dataclasses.replace(
-            layer, wqkv=wqkv, w13=w13,
-            wo=_strip_k_pad(_strip_n_pad(layer.wo), n_embd),
-            w2=_strip_k_pad(_strip_n_pad(layer.w2), n_ff)))
+        # Guard on w13: once a layer is model-sharded its n_logical is the
+        # LOCAL width (set by _pad_per_shard), so none of the global-width
+        # arithmetic below may run again (re-shard after LoRA attach).
+        if tp > 1 and not _model_sharded_already(layer.w13):
+            n_embd = layer.attention_norm.shape[0]
+            w13 = layer.w13
+            n_ff = (w13.n_logical if isinstance(w13, QuantMatmulWeight)
+                    else w13.shape[1]) // 2
+            wqkv = _pad_per_shard(
+                _permute_cols(_strip_n_pad(layer.wqkv),
+                              shard_col_order(3 * n_embd, 3, tp)), tp)
+            w13 = _pad_per_shard(
+                _permute_cols(_strip_n_pad(w13),
+                              shard_col_order(2 * n_ff, 2, tp)), tp)
+            layer = dataclasses.replace(
+                layer, wqkv=wqkv, w13=w13,
+                wo=_strip_k_pad(_strip_n_pad(layer.wo), n_embd),
+                w2=_strip_k_pad(_strip_n_pad(layer.w2), n_ff))
+        layers.append(layer)
     output = params.output
     if tp > 1 and not _model_sharded_already(output):
-        output = _strip_n_pad(output)
+        output = _pad_per_shard(_strip_n_pad(output), tp)
     params = dataclasses.replace(params, layers=layers, output=output)
     specs = params_pspec_tree(params)
     shardings = jax.tree.map(
