@@ -130,10 +130,10 @@ class BatchEngine:
             from ..parallel.sharding import shard_params
             dp, tp = (rcfg.mesh_shape if len(rcfg.mesh_shape) == 2
                       else (1, rcfg.mesh_shape[0]))
-            if kv_mode == "paged":
+            if kv_mode == "paged" and dp > 1:
                 raise NotImplementedError(
-                    "paged KV is single-device for now; use kv_mode='slab' "
-                    "with a mesh")
+                    "paged KV shards over tp only for now (page tables are "
+                    "host-global); use dp=1 with kv_mode='paged'")
             if n_slots % dp:
                 raise ValueError(f"n_slots={n_slots} not divisible by dp={dp}")
             if hp.n_head % tp:
@@ -153,6 +153,16 @@ class BatchEngine:
                 hp, n_slots=n_slots, page_size=page_size,
                 total_pages=total_pages,
                 pages_per_seq=-(-n_ctx // page_size), dtype=kv_dtype)
+            if self.mesh is not None:
+                # pools sharded over heads on the model axis (the page and
+                # row dims stay whole so the allocator/tables are global)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                from ..parallel.sharding import MODEL_AXIS
+                sh = NamedSharding(self.mesh, P(MODEL_AXIS, None, None, None))
+                self.pager.k_pages = [jax.device_put(a, sh)
+                                      for a in self.pager.k_pages]
+                self.pager.v_pages = [jax.device_put(a, sh)
+                                      for a in self.pager.v_pages]
             self.kv = None
         else:
             self.pager = None
@@ -188,6 +198,8 @@ class BatchEngine:
         if kv_mode == "paged":
             self._decode_fn = self._build_decode_paged()
             self._prefill_fn = self._build_prefill_paged()
+            # (when self.mesh is set, both are shard_map-wrapped: pools
+            # head-sharded on the model axis, everything else replicated)
         elif self.mesh is not None:
             self._decode_fn = self._build_decode_mesh()
             self._prefill_fn = self._build_prefill_mesh()
@@ -318,6 +330,10 @@ class BatchEngine:
         from ..models.llama import forward_paged_decode
         from .paged_kv import paged_attention_reference, paged_attention_tpu
         cfg = self.cfg
+        if self.mesh is not None:
+            from ..parallel.sharding import MODEL_AXIS
+            cfg = dataclasses.replace(
+                cfg, n_head=self.hp.n_head // self.tp, tp_axis=MODEL_AXIS)
         top_k_cap = self.top_k
         # the library Pallas kernel needs lane-aligned head_dim (128) and a
         # page_size that tiles; small test models fall back to the reference
@@ -348,16 +364,44 @@ class BatchEngine:
                               lastn)
             return nxt[:, None], lastn, step_i + 1, kpages, vpages
 
+        if self.mesh is not None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+            from ..parallel.sharding import MODEL_AXIS, params_pspec_tree
+            pool = P(MODEL_AXIS, None, None, None)
+            pools = [pool] * self.hp.n_layer
+            r = P()
+            in_specs = (params_pspec_tree(self.params), P(None, None), r, P(None, None),
+                        r, r, r, P(None, None), r, r, r, r, P(), P(),
+                        pools, pools)
+            out_specs = (P(None, None), P(None, None), P(), pools, pools)
+            step = shard_map(step, mesh=self.mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
         return jax.jit(step, donate_argnums=(14, 15))
 
     def _build_prefill_paged(self):
         from ..models.llama import forward_paged_prefill
         cfg = dataclasses.replace(self.cfg, flash_prefill=True)
+        if self.mesh is not None:
+            from ..parallel.sharding import MODEL_AXIS
+            cfg = dataclasses.replace(
+                cfg, n_head=self.hp.n_head // self.tp, tp_axis=MODEL_AXIS)
 
         def prefill(params, tokens, last_idx, page_ids, offs, kpages, vpages):
             return forward_paged_prefill(params, tokens, last_idx, page_ids,
                                          offs, kpages, vpages, cfg)
 
+        if self.mesh is not None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+            from ..parallel.sharding import MODEL_AXIS, params_pspec_tree
+            pool = P(MODEL_AXIS, None, None, None)
+            pools = [pool] * self.hp.n_layer
+            in_specs = (params_pspec_tree(self.params), P(None, None), P(),
+                        P(), P(), pools, pools)
+            out_specs = (P(None, None), pools, pools)
+            prefill = shard_map(prefill, mesh=self.mesh, in_specs=in_specs,
+                                out_specs=out_specs, check_vma=False)
         return jax.jit(prefill, donate_argnums=(5, 6))
 
     # -- request lifecycle ---------------------------------------------------

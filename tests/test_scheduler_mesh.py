@@ -63,11 +63,25 @@ def test_mesh_engine_async_drain(shardable_model):
     assert out == ref
 
 
-def test_mesh_engine_rejects_paged(shardable_model):
+def test_mesh_engine_rejects_paged_dp(shardable_model):
+    """Paged KV shards over tp only; dp>1 paged is still rejected."""
     params, vocab = shardable_model
     with pytest.raises(NotImplementedError):
         BatchEngine(HP, params, vocab, n_slots=4, n_ctx=32,
-                    rcfg=make_rcfg((1, 4)), kv_mode="paged")
+                    rcfg=make_rcfg((2, 2)), kv_mode="paged")
+
+
+@pytest.mark.parametrize("mesh_shape", [(1, 2), (1, 4)])
+def test_mesh_engine_paged_matches_single_device(shardable_model, mesh_shape):
+    """tp-sharded paged engine (head-sharded page pools, global allocator)
+    must reproduce the single-device paged streams exactly."""
+    params, vocab = shardable_model
+    prompts = ["w3 w4 w5", "w1 w2", "w7", "w2 w6 w8"]
+    ref = _run_greedy(params, vocab, (), prompts, kv_mode="paged",
+                      page_size=8)
+    out = _run_greedy(params, vocab, mesh_shape, prompts, kv_mode="paged",
+                      page_size=8)
+    assert out == ref
 
 
 def test_30b_dims_engine_runs_sharded():
