@@ -466,6 +466,19 @@ def forward_jit(params, tokens, n_past, kv_caches, cfg: ForwardConfig,
     return forward(params, tokens, n_past, kv_caches, cfg, last_idx)
 
 
+def _apply_qkv_lora(x, layer: LayerParams, q, k, v):
+    """Attention-projection LoRA terms for the paged paths (the slab path
+    applies them in _attention; FFN terms come via the shared _ffn)."""
+    b, t, h, hd = q.shape
+    if layer.lora_wq is not None:
+        q = q + apply_lora(x, layer.lora_wq).reshape(b, t, h, hd)
+    if layer.lora_wk is not None:
+        k = k + apply_lora(x, layer.lora_wk).reshape(b, t, h, hd)
+    if layer.lora_wv is not None:
+        v = v + apply_lora(x, layer.lora_wv).reshape(b, t, h, hd)
+    return q, k, v
+
+
 def forward_paged_decode(params: LlamaParams, tokens: jax.Array,
                          lengths: jax.Array, page_tables: jax.Array,
                          k_pages: list[jax.Array], v_pages: list[jax.Array],
@@ -506,6 +519,7 @@ def forward_paged_decode(params: LlamaParams, tokens: jax.Array,
         attn_in = rms_norm(x, layer.attention_norm, cfg.rms_eps)
         qkv = apply_linear(attn_in, layer.wqkv, cfg)
         q, k, v = split_qkv(qkv, h)
+        q, k, v = _apply_qkv_lora(attn_in, layer, q, k, v)
         hd = q.shape[-1]
         q = rope_interleaved(q, positions, cfg.n_rot)
         k = rope_interleaved(k, positions, cfg.n_rot)
@@ -522,6 +536,8 @@ def forward_paged_decode(params: LlamaParams, tokens: jax.Array,
         ctx = paged_attn(q[:, 0], kp, vp, lengths + 1, page_tables)
         ctx = ctx.reshape(b, 1, h * hd).astype(act_dtype)
         out = apply_linear(ctx, layer.wo, cfg)
+        if layer.lora_wo is not None:
+            out = out + apply_lora(ctx, layer.lora_wo)
         if cfg.tp_axis is not None:
             out = jax.lax.psum(out, cfg.tp_axis)
         x = x + out.astype(act_dtype)
@@ -564,6 +580,7 @@ def forward_paged_prefill(params: LlamaParams, tokens: jax.Array,
         attn_in = rms_norm(x, layer.attention_norm, cfg.rms_eps)
         qkv = apply_linear(attn_in, layer.wqkv, cfg)
         q, k, v = split_qkv(qkv, h)
+        q, k, v = _apply_qkv_lora(attn_in, layer, q, k, v)
         hd = q.shape[-1]
         q = rope_interleaved(q, positions, cfg.n_rot)
         k = rope_interleaved(k, positions, cfg.n_rot)
@@ -587,6 +604,8 @@ def forward_paged_prefill(params: LlamaParams, tokens: jax.Array,
                              precision=attn_prec)
         ctx = ctx.reshape(b, t, h * hd).astype(act_dtype)
         out = apply_linear(ctx, layer.wo, cfg)
+        if layer.lora_wo is not None:
+            out = out + apply_lora(ctx, layer.lora_wo)
         if cfg.tp_axis is not None:
             out = jax.lax.psum(out, cfg.tp_axis)
         x = x + out.astype(act_dtype)

@@ -147,3 +147,32 @@ def test_paged_decode_matches_slab(tiny_model):
 
     np.testing.assert_allclose(np.asarray(paged_logits),
                                np.asarray(ref_logits), rtol=2e-4, atol=2e-4)
+
+
+def test_paged_engine_applies_lora(tiny_model):
+    """Attention/FFN LoRA terms must flow through the paged forward exactly
+    like the slab forward (they were silently dropped in the paged
+    attention projections before this test existed)."""
+    import dataclasses as dc
+    from fastllama_tpu.engine.scheduler import BatchEngine, Request
+    from fastllama_tpu.models.llama import LoraTerm
+
+    rng = np.random.default_rng(11)
+    hp, vocab, rcfg = tiny_model.hp, tiny_model.vocab, tiny_model.rcfg
+    d = hp.n_embd
+    layers = []
+    for li, layer in enumerate(tiny_model.params.layers):
+        delta = jnp.asarray(
+            (rng.standard_normal((d, d)) * 0.05).astype(np.float32))
+        layers.append(dc.replace(layer, lora_wq=LoraTerm(delta=delta),
+                                 lora_wo=LoraTerm(delta=delta * 0.5)))
+    params = dc.replace(tiny_model.params, layers=layers)
+
+    def run(mode):
+        eng = BatchEngine(hp, params, vocab, n_slots=2, n_ctx=64, rcfg=rcfg,
+                          kv_mode=mode, page_size=8, temp=0.0)
+        res = eng.run([Request(prompt=" w1 w2 w3", max_tokens=5, temp=0.0),
+                       Request(prompt=" w5 w6", max_tokens=5, temp=0.0)])
+        return [r.tokens_out for r in res]
+
+    assert run("paged") == run("slab")
