@@ -153,6 +153,14 @@ class ForwardConfig:
     # (include/tensor/utils.hpp:101-112).
     tp_axis: str | None = None
     vocab_size: int = 0             # GLOBAL vocab (needed when tp_axis set)
+    # Sequence-parallel axis (parallel/ring.py): the KV cache's sequence
+    # axis is sharded over this mesh axis (cache row == global position).
+    # Prefill runs ring attention over ppermute'd K/V chunks; decode merges
+    # per-shard partial softmaxes with pmax/psum. Composes with tp_axis
+    # (heads on tp, sequence on sp). Long-context support beyond one chip's
+    # HBM — the reference has no analog (n_ctx bounded by host RAM).
+    sp_axis: str | None = None
+    sp_size: int = 1                # size of sp_axis (static, for the ring)
     # Caller's promise that this trace only ever runs with n_past == 0
     # (fresh-prompt prefill). Lets attention use the Pallas flash kernel
     # (online softmax, no [T, S] scores in HBM) over just the in-window
@@ -239,7 +247,8 @@ def _flash_viable(cfg: ForwardConfig, t: int, hd: int) -> bool:
     """Static gate for the flash-prefill path: TPU backend, lane-aligned
     shapes (Mosaic needs 128-multiples), production bf16 mode (the f32
     parity contract keeps the HIGHEST-precision einsum path)."""
-    return (cfg.flash_prefill and t >= 128 and t % 128 == 0
+    return (cfg.flash_prefill and cfg.sp_axis is None
+            and t >= 128 and t % 128 == 0
             and hd % 128 == 0 and cfg.w_jdtype != jnp.float32
             and jax.default_backend() == "tpu")
 
@@ -285,7 +294,7 @@ def _attention(x: jax.Array, layer: LayerParams, positions: jax.Array,
 
     qkv = apply_linear(x, layer.wqkv, cfg)
 
-    if (rope_ls is not None and t == 1
+    if (rope_ls is not None and t == 1 and cfg.sp_axis is None
             and layer.lora_wq is None and layer.lora_wk is None
             and layer.lora_wv is None
             and cfg.w_jdtype != jnp.float32
@@ -321,8 +330,9 @@ def _attention(x: jax.Array, layer: LayerParams, positions: jax.Array,
     q = rope_interleaved(q, positions, cfg.n_rot)
     k = rope_interleaved(k, positions, cfg.n_rot)
 
-    kv_k = _write_kv(kv_k, k, positions, cfg)
-    kv_v = _write_kv(kv_v, v, positions, cfg)
+    if cfg.sp_axis is None:
+        kv_k = _write_kv(kv_k, k, positions, cfg)
+        kv_v = _write_kv(kv_v, v, positions, cfg)
 
     def finish(ctx):
         ctx = ctx.reshape(b, t, h * hd).astype(cfg.act_jdtype)
@@ -333,6 +343,23 @@ def _attention(x: jax.Array, layer: LayerParams, positions: jax.Array,
             # wo is reduction-sharded over heads: sum partials over ICI
             out = jax.lax.psum(out, cfg.tp_axis)
         return out.astype(cfg.act_jdtype), (kv_k, kv_v)
+
+    if cfg.sp_axis is not None:
+        # Sequence-parallel attention (parallel/ring.py): the cache's S axis
+        # is sharded over cfg.sp_axis with cache row == global position.
+        import math
+        from ..parallel.ring import (
+            ring_prefill, sp_decode_attention, sp_write_decode,
+        )
+        scale = 1.0 / math.sqrt(hd)
+        if t == 1:
+            kv_k, kv_v = sp_write_decode(kv_k, kv_v, k, v, positions[:, 0],
+                                         cfg.sp_axis)
+            return finish(sp_decode_attention(
+                q, kv_k, kv_v, positions[:, 0], cfg.sp_axis, h, scale))
+        ctx, kv_k, kv_v = ring_prefill(q, k, v, kv_k, kv_v, positions,
+                                       cfg.sp_axis, cfg.sp_size, scale)
+        return finish(ctx)
 
     if _flash_viable(cfg, t, hd):
         # Fresh-prompt prefill: attend over the just-computed in-window K/V
@@ -422,13 +449,19 @@ def forward(params: LlamaParams, tokens: jax.Array, n_past: jax.Array,
     offsets = n_past.reshape(-1, 1)                       # [1,1] or [B,1]
     positions = offsets + jnp.arange(t, dtype=jnp.int32)[None, :]
     positions = jnp.broadcast_to(positions, (b, t))
+    if cfg.sp_axis is not None and t > 1:
+        # Sequence-parallel prefill: tokens arrive T-sharded over sp_axis,
+        # so this shard's window starts at its chunk offset.
+        positions = positions + jax.lax.axis_index(cfg.sp_axis) * t
 
     x = embed_tokens(params.tok_embeddings, tokens, act_dtype, cfg)
 
     # Decode-path RoPE tables, shared by every layer's fused attention
     # kernel (one tiny XLA chain per step instead of 2 rope chains/layer).
     rope_ls = None
-    if t == 1 and jax.default_backend() == "tpu" and cfg.w_jdtype != jnp.float32:
+    if (t == 1 and cfg.sp_axis is None
+            and jax.default_backend() == "tpu"
+            and cfg.w_jdtype != jnp.float32):
         from ..kernels.decode_attention import rope_lane_tables
         w0 = params.layers[0].wqkv
         n3 = (min(w0.n_logical, w0.qs.shape[1])
@@ -446,7 +479,17 @@ def forward(params: LlamaParams, tokens: jax.Array, n_past: jax.Array,
         x = x + _ffn(ffn_in, layer, cfg)
 
     x = rms_norm(x, params.norm, cfg.rms_eps)
-    x_last = jax.lax.dynamic_slice_in_dim(x, last_idx, 1, axis=1)  # [B,1,D]
+    if cfg.sp_axis is not None and t > 1:
+        # last_idx is GLOBAL; the owning shard contributes its row, the
+        # psum replicates it (zeros elsewhere) so the head input and the
+        # embeddings tap are whole on every shard.
+        base = jax.lax.axis_index(cfg.sp_axis) * t
+        loc = jnp.clip(last_idx - base, 0, t - 1)
+        x_last = jax.lax.dynamic_slice_in_dim(x, loc, 1, axis=1)
+        own = (last_idx >= base) & (last_idx < base + t)
+        x_last = jax.lax.psum(jnp.where(own, x_last, 0), cfg.sp_axis)
+    else:
+        x_last = jax.lax.dynamic_slice_in_dim(x, last_idx, 1, axis=1)  # [B,1,D]
     embeddings = x_last[:, 0, :].astype(jnp.float32)
 
     head_in = x if cfg.all_logits else x_last

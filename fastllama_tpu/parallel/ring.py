@@ -1,0 +1,155 @@
+"""Sequence parallelism: ring-attention prefill + split-S decode merge.
+
+Long-context support beyond one chip's HBM — the SP row of SURVEY.md §2.3.
+The reference has no long-context story at all (n_ctx is a load-time
+constant bounded by one host's RAM, /root/reference/lib/llama.cpp:24-51);
+this is a new TPU-native design, not a port.
+
+Layout contract: the KV cache's SEQUENCE axis is sharded over a mesh axis
+(sp shards), and cache row == global token position, so shard i owns
+positions [i*S_loc, (i+1)*S_loc). Activations during prefill are sharded
+over the same axis along T (each shard runs matmuls/FFN on its own token
+chunk — those ops are per-token, so sequence sharding is free for them);
+only attention needs cross-shard traffic:
+
+  * Prefill (`ring_prefill`): K/V chunks rotate around the ring
+    (`ppermute` over ICI) while each shard folds the transiting chunk into
+    a flash-style online softmax (running max / sum-exp / weighted
+    accumulator). Peak memory per chip is O(T/sp); the [T, T] score matrix
+    never exists. While a chunk transits, each shard also collects the
+    rows it owns into its local cache slab, so by the time the ring
+    completes the sequence-sharded cache is fully populated — no second
+    redistribution pass.
+  * Decode (`sp_decode_attention`): every shard computes partial attention
+    over its local cache rows, then the partials merge with one
+    pmax + two psums (flash-decoding's split-S reduction, across chips
+    instead of across cores).
+
+Composes with tensor parallelism: heads stay sharded on the model axis,
+the sequence axis shards S — a (sp, tp) mesh gives each chip an
+[S/sp, H/tp] cache tile.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# NB: a plain numpy scalar, NOT a module-level jax array: jax 0.9 stamps a
+# constant's aval with the AbstractMesh of the first shard_map trace that
+# captures it, and the cached object then poisons traces on other meshes.
+import numpy as _np
+_NEG = _np.float32(-1e30)
+
+
+def ring_prefill(q, k, v, kv_k, kv_v, positions, axis_name: str, sp: int,
+                 scale: float):
+    """Causal ring attention over a T-sharded fresh-prompt window.
+
+    Args:
+      q/k/v: [B, T_loc, H, Dh] post-RoPE, this shard's token chunk.
+      kv_k/kv_v: [B, S_loc, H*Dh] local cache slabs (sequence-sharded).
+      positions: [B, T_loc] GLOBAL positions of the local chunk (the cache
+        row a token lands in is its global position; n_past must be 0).
+      axis_name: mesh axis the sequence is sharded over; sp: its size.
+    Returns (ctx [B, T_loc, H, Dh] f32, kv_k, kv_v) with every cache row
+    owned by this shard written as the chunks transit the ring.
+    """
+    b, t, h, hd = q.shape
+    s_loc = kv_k.shape[1]
+    idx = jax.lax.axis_index(axis_name)
+    base_cache = idx * s_loc
+    b_idx = jnp.arange(b)[:, None]
+
+    qf = q.astype(jnp.float32)
+    q_pos = positions                                    # [B, T_loc]
+    # Derive the online-softmax state from tracers (not fresh constants):
+    # jax 0.9 stamps constant avals with the ambient AbstractMesh and a
+    # value-cached constant from an earlier mesh poisons later traces.
+    acc = jnp.swapaxes(qf, 1, 2) * 0                      # [B, H, T, Dh]
+    m = acc[..., :1] + _NEG                               # [B, H, T, 1]
+    l = acc[..., :1]
+
+    perm = [(j, (j + 1) % sp) for j in range(sp)]
+    k_c, v_c, pos_c = k, v, positions
+    for step in range(sp):
+        kf = k_c.astype(jnp.float32)
+        scores = jnp.einsum("bthd,bshd->bhts", qf, kf) * scale
+        mask = pos_c[:, None, None, :] <= q_pos[:, None, :, None]
+        scores = jnp.where(mask, scores, _NEG)
+        m_new = jnp.maximum(m, jnp.max(scores, axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        # Explicit zero where masked: a fully-masked chunk at m_new == _NEG
+        # would otherwise contribute exp(0) == 1 per masked key.
+        p = jnp.where(mask, jnp.exp(scores - m_new), 0.0)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jnp.einsum("bhts,bshd->bhtd", p,
+                                       v_c.astype(jnp.float32))
+        m = m_new
+
+        # Collect the transiting chunk's rows that live in this shard's
+        # cache region (OOB rows -> index S_loc -> dropped by the scatter).
+        loc = pos_c - base_cache                          # [B, T_loc]
+        loc = jnp.where((loc >= 0) & (loc < s_loc), loc, s_loc)
+        kv_k = kv_k.at[b_idx, loc].set(
+            k_c.reshape(b, t, -1).astype(kv_k.dtype), mode="drop")
+        kv_v = kv_v.at[b_idx, loc].set(
+            v_c.reshape(b, t, -1).astype(kv_v.dtype), mode="drop")
+
+        if step < sp - 1:
+            k_c = jax.lax.ppermute(k_c, axis_name, perm)
+            v_c = jax.lax.ppermute(v_c, axis_name, perm)
+            pos_c = jax.lax.ppermute(pos_c, axis_name, perm)
+
+    ctx = (acc / l).transpose(0, 2, 1, 3)                 # [B, T_loc, H, Dh]
+    return ctx, kv_k, kv_v
+
+
+def sp_write_decode(kv_k, kv_v, k, v, pos, axis_name: str):
+    """Owner-masked write of the new token's K/V row.
+
+    k/v: [B, 1, H, Dh]; pos: [B] global position of the new token. Only the
+    shard whose cache region contains `pos` keeps the row (others scatter to
+    the dropped out-of-range index), so the write needs no collective.
+    """
+    b = k.shape[0]
+    s_loc = kv_k.shape[1]
+    base = jax.lax.axis_index(axis_name) * s_loc
+    loc = pos - base
+    loc = jnp.where((loc >= 0) & (loc < s_loc), loc, s_loc)
+    b_idx = jnp.arange(b)
+    kv_k = kv_k.at[b_idx, loc].set(k.reshape(b, -1).astype(kv_k.dtype),
+                                   mode="drop")
+    kv_v = kv_v.at[b_idx, loc].set(v.reshape(b, -1).astype(kv_v.dtype),
+                                   mode="drop")
+    return kv_k, kv_v
+
+
+def sp_decode_attention(q, kv_k, kv_v, pos, axis_name: str, n_head: int,
+                        scale: float):
+    """Decode attention over a sequence-sharded cache (split-S merge).
+
+    q: [B, 1, H, Dh]; kv_k/kv_v: [B, S_loc, H*Dh] local slabs; pos: [B]
+    global position of the newest token (already written, so the causal
+    window is k_pos <= pos inclusive). Returns ctx [B, 1, H, Dh] f32.
+    """
+    b, s_loc = kv_k.shape[0], kv_k.shape[1]
+    hd = q.shape[-1]
+    base = jax.lax.axis_index(axis_name) * s_loc
+    keys = kv_k.reshape(b, s_loc, n_head, hd).astype(jnp.float32)
+    vals = kv_v.reshape(b, s_loc, n_head, hd).astype(jnp.float32)
+
+    scores = jnp.einsum("bthd,bshd->bhts", q.astype(jnp.float32), keys) * scale
+    k_pos = base + jnp.arange(s_loc, dtype=jnp.int32)
+    mask = k_pos[None, None, None, :] <= pos[:, None, None, None]
+    scores = jnp.where(mask, scores, _NEG)
+
+    m_loc = jnp.max(scores, axis=-1, keepdims=True)       # [B, H, 1, 1]
+    p = jnp.where(mask, jnp.exp(scores - m_loc), 0.0)
+    l_loc = jnp.sum(p, axis=-1, keepdims=True)
+    acc = jnp.einsum("bhts,bshd->bhtd", p, vals)
+
+    m_g = jax.lax.pmax(m_loc, axis_name)
+    coef = jnp.exp(m_loc - m_g)            # 0 for shards with no valid rows
+    l_g = jax.lax.psum(l_loc * coef, axis_name)
+    acc_g = jax.lax.psum(acc * coef, axis_name)
+    return (acc_g / l_g).transpose(0, 2, 1, 3)            # [B, 1, H, Dh]

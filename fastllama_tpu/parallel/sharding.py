@@ -47,6 +47,10 @@ REPLICATED = P()
 # (tp divides n_head, so the flat split lands exactly on head boundaries)
 KV_SPEC = P(DATA_AXIS, None, MODEL_AXIS)
 
+# sequence-parallel KV buffer: the SEQUENCE axis sharded over the data axis
+# (long-context mode, parallel/ring.py) — batch replicated, heads on model
+SEQ_KV_SPEC = P(None, DATA_AXIS, MODEL_AXIS)
+
 
 def make_mesh(n_data: int = 1, n_model: int = 1,
               devices: list | None = None) -> Mesh:
@@ -251,6 +255,57 @@ def shard_params(params: LlamaParams, mesh: Mesh) -> LlamaParams:
 def shard_kv(kv: list[KVPair], mesh: Mesh) -> list[KVPair]:
     sh = NamedSharding(mesh, KV_SPEC)
     return [(jax.device_put(k, sh), jax.device_put(v, sh)) for k, v in kv]
+
+
+def shard_kv_seq(kv: list[KVPair], mesh: Mesh) -> list[KVPair]:
+    """Sequence-sharded cache placement (long-context mode): S on the data
+    axis, heads on the model axis. S must divide the data-axis size."""
+    sh = NamedSharding(mesh, SEQ_KV_SPEC)
+    return [(jax.device_put(k, sh), jax.device_put(v, sh)) for k, v in kv]
+
+
+def make_seq_parallel_forward(mesh: Mesh, params: LlamaParams,
+                              cfg: ForwardConfig, decode: bool = False):
+    """Long-context forward over a sequence-sharded KV cache (parallel/ring).
+
+    The mesh's data axis becomes the SEQUENCE axis (sp shards): each chip
+    holds S/sp cache rows and — during prefill — runs matmuls/FFN on T/sp
+    tokens, so both cache memory and prefill FLOPs scale out with sp.
+    Composes with tensor parallelism on the model axis.
+
+    decode=False (prefill): returns fn(params, tokens [B, T], n_past,
+      kv_caches, last_idx) with tokens T-SHARDED over the data axis
+      (T % sp == 0) and n_past == 0 (fresh window; cache row == global
+      position). Ring attention rotates K/V chunks over ICI.
+    decode=True: tokens [B, 1] replicated; the newest row is written on its
+      owner shard, attention merges per-shard partials (split-S pmax/psum).
+
+    Returns (logits, kv_caches, embeddings); logits are replicated except
+    all_logits prefill, where they come back T-sharded and reassemble to
+    the caller as a global [B, T, V].
+    """
+    sp = mesh.shape[DATA_AXIS]
+    tp = mesh.shape[MODEL_AXIS]
+    if cfg.n_head % tp:
+        raise ValueError(f"n_head={cfg.n_head} not divisible by tp={tp}")
+    local_cfg = dataclasses.replace(
+        cfg, n_head=cfg.n_head // tp, tp_axis=MODEL_AXIS,
+        sp_axis=DATA_AXIS, sp_size=sp)
+
+    pspecs = params_pspec_tree(params)
+    kv_specs = [(SEQ_KV_SPEC, SEQ_KV_SPEC)] * len(params.layers)
+    tok_spec = P() if decode else P(None, DATA_AXIS)
+    logits_spec = (P(None, DATA_AXIS, None)
+                   if (cfg.all_logits and not decode) else P())
+    in_specs = (pspecs, tok_spec, P(), kv_specs, P())
+    out_specs = (logits_spec, kv_specs, P())
+
+    def fwd(p, tokens, n_past, kv_caches, last_idx):
+        return forward(p, tokens, n_past, kv_caches, local_cfg, last_idx)
+
+    sharded = shard_map(fwd, mesh=mesh, in_specs=in_specs,
+                        out_specs=out_specs, check_vma=False)
+    return jax.jit(sharded, donate_argnums=(3,))
 
 
 def make_sharded_forward(mesh: Mesh, params: LlamaParams, cfg: ForwardConfig):
