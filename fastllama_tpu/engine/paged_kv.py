@@ -94,29 +94,46 @@ def write_tokens_paged(k_pages, v_pages, k_new, v_new, page_ids, offsets):
 
 @dataclasses.dataclass
 class PagedKVManager:
-    """Host-side page allocator + device page pools (per layer)."""
+    """Host-side page allocator + device page pools (per layer).
+
+    dp > 1 partitions the page-id space over the engine's data-parallel
+    shards: slot s belongs to dp group ``s // (n_slots/dp)``, allocates only
+    from that group's partition, and every id the manager hands out is
+    SHARD-LOCAL (so page tables split over the data axis index directly
+    into each shard's local slice of the pool — no id translation inside
+    the compiled step). Each group gets its own trash page, so the pool's
+    page dim is ``dp * (total_pages/dp + 1)`` and shards cleanly as
+    P(..., DATA_AXIS, ...). dp=1 reduces to the flat global layout.
+    """
     hp: HyperParams
     n_slots: int
     page_size: int
     total_pages: int
     pages_per_seq: int
     dtype: object = jnp.bfloat16
+    dp: int = 1
 
     def __post_init__(self):
         h, d = self.hp.n_head, self.hp.head_dim
-        # +1 trash page at index total_pages: the sentinel id for inactive
-        # slots. The Pallas in-place write kernel (kernels/kv_write.py) lands
-        # sentinel writes there instead of needing a predicated store; the
-        # XLA fallback scatter reaches it the same way. It is never allocated
-        # and never referenced by a page table.
-        shape = (h, self.total_pages + 1, self.page_size, d)
+        if self.total_pages % self.dp or self.n_slots % self.dp:
+            raise ValueError(
+                f"total_pages={self.total_pages} and n_slots={self.n_slots} "
+                f"must divide dp={self.dp}")
+        # pages usable per dp group; also the LOCAL trash-page index: the
+        # sentinel id for inactive slots. The Pallas in-place write kernel
+        # (kernels/kv_write.py) lands sentinel writes there instead of
+        # needing a predicated store; the XLA fallback scatter reaches it
+        # the same way. It is never allocated and never in a page table.
+        self.local_pages = self.total_pages // self.dp
+        shape = (h, self.dp * (self.local_pages + 1), self.page_size, d)
         self.k_pages = [jnp.zeros(shape, self.dtype)
                         for _ in range(self.hp.n_layer)]
         self.v_pages = [jnp.zeros(shape, self.dtype)
                         for _ in range(self.hp.n_layer)]
-        self._free = list(range(self.total_pages - 1, -1, -1))
-        # page table per slot; total_pages = the trash-page sentinel id
-        # (writes land in trash, reads hit page 0 garbage but are
+        self._free = [list(range(self.local_pages - 1, -1, -1))
+                      for _ in range(self.dp)]
+        # page table per slot, in local ids (writes to the sentinel land in
+        # the group's trash page; unset entries read page-0 garbage but are
         # length-masked)
         self.page_tables = np.full((self.n_slots, self.pages_per_seq),
                                    0, np.int32)
@@ -124,27 +141,37 @@ class PagedKVManager:
         self.lengths = np.zeros(self.n_slots, np.int32)
 
     @property
+    def sentinel(self) -> int:
+        """The trash-page id (local to every dp group)."""
+        return self.local_pages
+
+    def group_of(self, slot: int) -> int:
+        return slot // (self.n_slots // self.dp)
+
+    @property
     def free_pages(self) -> int:
-        return len(self._free)
+        return sum(len(f) for f in self._free)
 
     def alloc_for(self, slot: int, new_len: int) -> bool:
         """Ensure slot has pages covering new_len tokens. Atomic: on OOM
-        nothing is allocated and False is returned."""
+        nothing is allocated and False is returned. Pages come from the
+        slot's dp group partition only (slots are pinned to their shard)."""
         need = -(-new_len // self.page_size)
         if need > self.pages_per_seq:
             return False
+        free = self._free[self.group_of(slot)]
         have = len(self._owned[slot])
-        if need - have > len(self._free):
+        if need - have > len(free):
             return False
         while have < need:
-            pid = self._free.pop()
+            pid = free.pop()
             self.page_tables[slot, have] = pid
             self._owned[slot].append(pid)
             have += 1
         return True
 
     def free_slot(self, slot: int) -> None:
-        self._free.extend(reversed(self._owned[slot]))
+        self._free[self.group_of(slot)].extend(reversed(self._owned[slot]))
         self._owned[slot] = []
         self.page_tables[slot, :] = 0
         self.lengths[slot] = 0

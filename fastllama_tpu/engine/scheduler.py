@@ -130,10 +130,6 @@ class BatchEngine:
             from ..parallel.sharding import shard_params
             dp, tp = (rcfg.mesh_shape if len(rcfg.mesh_shape) == 2
                       else (1, rcfg.mesh_shape[0]))
-            if kv_mode == "paged" and dp > 1:
-                raise NotImplementedError(
-                    "paged KV shards over tp only for now (page tables are "
-                    "host-global); use dp=1 with kv_mode='paged'")
             if n_slots % dp:
                 raise ValueError(f"n_slots={n_slots} not divisible by dp={dp}")
             if hp.n_head % tp:
@@ -149,16 +145,21 @@ class BatchEngine:
         if kv_mode == "paged":
             from .paged_kv import PagedKVManager
             total_pages = total_pages or (n_slots * n_ctx) // page_size
+            total_pages = -(-total_pages // self.dp) * self.dp
             self.pager = PagedKVManager(
                 hp, n_slots=n_slots, page_size=page_size,
                 total_pages=total_pages,
-                pages_per_seq=-(-n_ctx // page_size), dtype=kv_dtype)
+                pages_per_seq=-(-n_ctx // page_size), dtype=kv_dtype,
+                dp=self.dp)
             if self.mesh is not None:
-                # pools sharded over heads on the model axis (the page and
-                # row dims stay whole so the allocator/tables are global)
+                # pools sharded over heads on the model axis and over the
+                # page-id partitions on the data axis (the manager hands out
+                # shard-local ids, so each dp shard's tables index straight
+                # into its local pool slice)
                 from jax.sharding import NamedSharding, PartitionSpec as P
-                from ..parallel.sharding import MODEL_AXIS
-                sh = NamedSharding(self.mesh, P(MODEL_AXIS, None, None, None))
+                from ..parallel.sharding import DATA_AXIS, MODEL_AXIS
+                sh = NamedSharding(self.mesh,
+                                   P(MODEL_AXIS, DATA_AXIS, None, None))
                 self.pager.k_pages = [jax.device_put(a, sh)
                                       for a in self.pager.k_pages]
                 self.pager.v_pages = [jax.device_put(a, sh)
@@ -348,12 +349,21 @@ class BatchEngine:
         else:
             attn = paged_attention_reference
 
+        dp_axis = None
+        if self.mesh is not None and self.dp > 1:
+            from ..parallel.sharding import DATA_AXIS
+            dp_axis = DATA_AXIS
+
         def step(params, tokens, lengths, tables, page_ids, offs, active,
                  lastn, temps, topks, topps, rps, key, step_i, kpages, vpages):
             logits, kpages, vpages = forward_paged_decode(
                 params, tokens, lengths, tables, kpages, vpages,
                 page_ids, offs, cfg, paged_attn=attn)
             step_key = jax.random.fold_in(key, step_i)
+            if dp_axis is not None:
+                # decorrelate data shards (each samples its own slot rows)
+                step_key = jax.random.fold_in(
+                    step_key, jax.lax.axis_index(dp_axis).astype(jnp.uint32))
             nxt = sample_jax(logits[:, -1, :], lastn, step_key,
                              top_k=top_k_cap, top_p=topps, temp=temps,
                              repeat_penalty=rps, top_k_v=topks)
@@ -362,19 +372,30 @@ class BatchEngine:
                               jnp.concatenate([lastn[:, 1:], nxt[:, None]],
                                               axis=1),
                               lastn)
-            return nxt[:, None], lastn, step_i + 1, kpages, vpages
+            tok_out = nxt[:, None]
+            if dp_axis is not None:
+                # replicate sampled tokens across the data axis (see the
+                # slab _decode_core for the multi-host contract)
+                tok_out = jax.lax.all_gather(nxt, dp_axis, axis=0,
+                                             tiled=True)[:, None]
+            return tok_out, lastn, step_i + 1, kpages, vpages
 
         if self.mesh is not None:
             from jax import shard_map
             from jax.sharding import PartitionSpec as P
-            from ..parallel.sharding import MODEL_AXIS, params_pspec_tree
-            pool = P(MODEL_AXIS, None, None, None)
+            from ..parallel.sharding import (
+                DATA_AXIS, MODEL_AXIS, params_pspec_tree,
+            )
+            pool = P(MODEL_AXIS, DATA_AXIS, None, None)
             pools = [pool] * self.hp.n_layer
-            r = P()
-            in_specs = (params_pspec_tree(self.params), P(None, None), r, P(None, None),
-                        r, r, r, P(None, None), r, r, r, r, P(), P(),
+            pd = P(DATA_AXIS)
+            pd2 = P(DATA_AXIS, None)
+            # slots split over dp (each shard decodes + samples its own rows
+            # against its local page-pool partition); tokens out replicated
+            in_specs = (params_pspec_tree(self.params), pd2, pd, pd2,
+                        pd, pd, pd, pd2, pd, pd, pd, pd, P(), P(),
                         pools, pools)
-            out_specs = (P(None, None), P(None, None), P(), pools, pools)
+            out_specs = (P(None, None), pd2, P(), pools, pools)
             step = shard_map(step, mesh=self.mesh, in_specs=in_specs,
                              out_specs=out_specs, check_vma=False)
         return jax.jit(step, donate_argnums=(14, 15))
@@ -387,21 +408,36 @@ class BatchEngine:
             cfg = dataclasses.replace(
                 cfg, n_head=self.hp.n_head // self.tp, tp_axis=MODEL_AXIS)
 
-        def prefill(params, tokens, last_idx, page_ids, offs, kpages, vpages):
-            return forward_paged_prefill(params, tokens, last_idx, page_ids,
-                                         offs, kpages, vpages, cfg)
+        if self.mesh is None:
+            def prefill(params, tokens, last_idx, page_ids, offs,
+                        kpages, vpages):
+                return forward_paged_prefill(params, tokens, last_idx,
+                                             page_ids, offs, kpages, vpages,
+                                             cfg)
+            return jax.jit(prefill, donate_argnums=(5, 6))
 
-        if self.mesh is not None:
-            from jax import shard_map
-            from jax.sharding import PartitionSpec as P
-            from ..parallel.sharding import MODEL_AXIS, params_pspec_tree
-            pool = P(MODEL_AXIS, None, None, None)
-            pools = [pool] * self.hp.n_layer
-            in_specs = (params_pspec_tree(self.params), P(None, None), P(),
-                        P(), P(), pools, pools)
-            out_specs = (P(None, None), pools, pools)
-            prefill = shard_map(prefill, mesh=self.mesh, in_specs=in_specs,
-                                out_specs=out_specs, check_vma=False)
+        # Mesh prefill: the [1, T] prompt row is replicated over dp (it
+        # cannot split over the data axis); every shard computes the same
+        # activations, but the page_ids/offs arrays arrive PER SHARD
+        # ([dp, T] split over dp) — the admitted slot's owner shard carries
+        # real local ids, the others the trash sentinel, so only the owner's
+        # pool partition receives the prompt's K/V.
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        from ..parallel.sharding import DATA_AXIS, MODEL_AXIS, params_pspec_tree
+
+        def prefill(params, tokens, last_idx, page_ids, offs, kpages, vpages):
+            return forward_paged_prefill(params, tokens, last_idx,
+                                         page_ids[0], offs[0],
+                                         kpages, vpages, cfg)
+
+        pool = P(MODEL_AXIS, DATA_AXIS, None, None)
+        pools = [pool] * self.hp.n_layer
+        in_specs = (params_pspec_tree(self.params), P(None, None), P(),
+                    P(DATA_AXIS, None), P(DATA_AXIS, None), pools, pools)
+        out_specs = (P(None, None), pools, pools)
+        prefill = shard_map(prefill, mesh=self.mesh, in_specs=in_specs,
+                            out_specs=out_specs, check_vma=False)
         return jax.jit(prefill, donate_argnums=(5, 6))
 
     # -- request lifecycle ---------------------------------------------------
@@ -458,9 +494,20 @@ class BatchEngine:
                 self.logger.log_err("BatchEngine",
                                     f"request {req.rid}: out of KV pages\n")
                 return False
-            pages = np.full(bucket, self.pager.total_pages, np.int32)
-            offs = np.zeros(bucket, np.int32)
-            pages[:t], offs[:t] = self.pager.token_page_offsets(slot_idx, 0, t)
+            sent = self.pager.sentinel
+            if self.mesh is not None:
+                # per-dp-shard write locations: only the owner shard's row
+                # carries real (local) page ids, the rest hit their trash
+                pages = np.full((self.dp, bucket), sent, np.int32)
+                offs = np.zeros((self.dp, bucket), np.int32)
+                g = self.pager.group_of(slot_idx)
+                pages[g, :t], offs[g, :t] = \
+                    self.pager.token_page_offsets(slot_idx, 0, t)
+            else:
+                pages = np.full(bucket, sent, np.int32)
+                offs = np.zeros(bucket, np.int32)
+                pages[:t], offs[:t] = \
+                    self.pager.token_page_offsets(slot_idx, 0, t)
             logits_for_slot, self.pager.k_pages, self.pager.v_pages = \
                 self._prefill_fn(self.params, jnp.asarray(toks),
                                  jnp.int32(t - 1), jnp.asarray(pages),
@@ -564,7 +611,7 @@ class BatchEngine:
     def _launch(self) -> None:
         """Dispatch one batched decode step (returns without blocking)."""
         if self.pager is not None:
-            sentinel = self.pager.total_pages
+            sentinel = self.pager.sentinel
             pages = np.full(self.n_slots, sentinel, np.int32)
             offs = np.zeros(self.n_slots, np.int32)
             lengths = np.zeros(self.n_slots, np.int32)

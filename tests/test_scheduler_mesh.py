@@ -63,24 +63,30 @@ def test_mesh_engine_async_drain(shardable_model):
     assert out == ref
 
 
-def test_mesh_engine_rejects_paged_dp(shardable_model):
-    """Paged KV shards over tp only; dp>1 paged is still rejected."""
-    params, vocab = shardable_model
-    with pytest.raises(NotImplementedError):
-        BatchEngine(HP, params, vocab, n_slots=4, n_ctx=32,
-                    rcfg=make_rcfg((2, 2)), kv_mode="paged")
-
-
-@pytest.mark.parametrize("mesh_shape", [(1, 2), (1, 4)])
+@pytest.mark.parametrize("mesh_shape", [(1, 2), (1, 4), (2, 2), (4, 2)])
 def test_mesh_engine_paged_matches_single_device(shardable_model, mesh_shape):
-    """tp-sharded paged engine (head-sharded page pools, global allocator)
-    must reproduce the single-device paged streams exactly."""
+    """Sharded paged engine (pools head-sharded over tp AND page-partitioned
+    over dp, shard-local page ids) must reproduce the single-device paged
+    streams exactly."""
     params, vocab = shardable_model
     prompts = ["w3 w4 w5", "w1 w2", "w7", "w2 w6 w8"]
     ref = _run_greedy(params, vocab, (), prompts, kv_mode="paged",
                       page_size=8)
     out = _run_greedy(params, vocab, mesh_shape, prompts, kv_mode="paged",
                       page_size=8)
+    assert out == ref
+
+
+def test_paged_dp_page_partitions(shardable_model):
+    """dp partitions the page-id space: slots allocate only from their dp
+    group, ids are shard-local, and freeing returns pages to the right
+    partition (slot reuse across more requests than slots)."""
+    params, vocab = shardable_model
+    prompts = [f"w{i} w{i+1}" for i in range(6)]
+    ref = _run_greedy(params, vocab, (), prompts, n_slots=2,
+                      kv_mode="paged", page_size=8)
+    out = _run_greedy(params, vocab, (2, 1), prompts, n_slots=2,
+                      kv_mode="paged", page_size=8)
     assert out == ref
 
 
