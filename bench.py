@@ -35,15 +35,22 @@ def main() -> int:
     from fastllama_tpu.models.llama import ForwardConfig, forward
     from __graft_entry__ import _build_model
 
-    hp = HyperParams(n_vocab=32000, n_embd=4096, n_head=32, n_layer=32,
-                     n_rot=128)
+    dims = "13b" if "--dims=13b" in sys.argv[1:] else "7b"
+    if dims == "13b":
+        hp = HyperParams(n_vocab=32000, n_embd=5120, n_head=40, n_layer=40,
+                         n_rot=128)
+        n_ff = 13824
+    else:
+        hp = HyperParams(n_vocab=32000, n_embd=4096, n_head=32, n_layer=32,
+                         n_rot=128)
+        n_ff = 11008
     n_ctx = 512
     log(f"devices: {jax.devices()}")
 
     t0 = time.time()
-    params = _build_model(hp, n_ff=11008)
+    params = _build_model(hp, n_ff=n_ff)
     jax.block_until_ready(params)
-    log(f"built 7B q4_0 weights on device in {time.time() - t0:.1f}s")
+    log(f"built {dims} q4_0 weights on device in {time.time() - t0:.1f}s")
 
     cfg = ForwardConfig(n_head=hp.n_head, n_rot=hp.n_rot)
 
@@ -56,7 +63,9 @@ def main() -> int:
         nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)[:, None]
         return nxt, n_past + 1, kv
 
-    step = jax.jit(decode_step, donate_argnums=(3,))
+    from fastllama_tpu.utils.xla_opts import decode_compiler_options
+    step = jax.jit(decode_step, donate_argnums=(3,),
+                   compiler_options=decode_compiler_options())
 
     from fastllama_tpu.models.llama import init_kv_cache
     kv = init_kv_cache(hp, 1, n_ctx, dtype=jnp.bfloat16)
@@ -110,7 +119,7 @@ def main() -> int:
     log(f"baseline: {baseline} tokens/s ({baseline_src})")
 
     print(json.dumps({
-        "metric": "decode_tokens_per_sec_per_chip_7b_q4_0",
+        "metric": f"decode_tokens_per_sec_per_chip_{dims}_q4_0",
         "value": round(tps, 2),
         "unit": "tokens/s",
         "vs_baseline": round(tps / baseline, 2),

@@ -250,7 +250,9 @@ class BatchEngine:
         return step
 
     def _build_decode(self):
-        return jax.jit(self._decode_core(self.cfg), donate_argnums=(11,))
+        from ..utils.xla_opts import decode_compiler_options
+        return jax.jit(self._decode_core(self.cfg), donate_argnums=(11,),
+                       compiler_options=decode_compiler_options())
 
     def _build_decode_mesh(self):
         from jax import shard_map
@@ -270,9 +272,11 @@ class BatchEngine:
                     kv_specs)
         # tokens out replicated (all-gathered over dp inside the step)
         out_specs = (P(None, None), pd, pd2, P(), kv_specs)
+        from ..utils.xla_opts import decode_compiler_options
         fn = shard_map(step, mesh=self.mesh, in_specs=in_specs,
                        out_specs=out_specs, check_vma=False)
-        return jax.jit(fn, donate_argnums=(11,))
+        return jax.jit(fn, donate_argnums=(11,),
+                       compiler_options=decode_compiler_options())
 
     def _build_prefill(self):
         """Single-row prefill: run the prompt through a fresh [1, n_ctx]
@@ -398,7 +402,9 @@ class BatchEngine:
             out_specs = (P(None, None), pd2, P(), pools, pools)
             step = shard_map(step, mesh=self.mesh, in_specs=in_specs,
                              out_specs=out_specs, check_vma=False)
-        return jax.jit(step, donate_argnums=(14, 15))
+        from ..utils.xla_opts import decode_compiler_options
+        return jax.jit(step, donate_argnums=(14, 15),
+                       compiler_options=decode_compiler_options())
 
     def _build_prefill_paged(self):
         from ..models.llama import forward_paged_prefill

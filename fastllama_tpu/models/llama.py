@@ -509,6 +509,25 @@ def forward_jit(params, tokens, n_past, kv_caches, cfg: ForwardConfig,
     return forward(params, tokens, n_past, kv_caches, cfg, last_idx)
 
 
+_FWD_DECODE = None
+
+
+def forward_jit_decode(params, tokens, n_past, kv_caches,
+                       cfg: ForwardConfig, last_idx=None):
+    """forward_jit with the decode compiler options (utils/xla_opts.py):
+    MSA operand pre-staging suppressed — at 13B dims it exposes ~1.4
+    ms/step of slice waits in front of the weight kernels. Built lazily so
+    importing the module never touches the backend."""
+    global _FWD_DECODE
+    if _FWD_DECODE is None:
+        from ..utils.xla_opts import decode_compiler_options
+        _FWD_DECODE = jax.jit(
+            forward, static_argnames=("cfg",),
+            donate_argnames=("kv_caches",),
+            compiler_options=decode_compiler_options())
+    return _FWD_DECODE(params, tokens, n_past, kv_caches, cfg, last_idx)
+
+
 def _apply_qkv_lora(x, layer: LayerParams, q, k, v):
     """Attention-projection LoRA terms for the paged paths (the slab path
     applies them in _attention; FFN terms come via the shared _ffn)."""

@@ -19,7 +19,10 @@ import jax.numpy as jnp
 from ..config import HyperParams, RuntimeConfig
 from ..engine.logger import Logger, NULL_LOGGER
 from ..engine.tokenizer import Vocab
-from .llama import ForwardConfig, LlamaParams, forward_jit, init_kv_cache
+from .llama import (
+    ForwardConfig, LlamaParams, forward_jit, forward_jit_decode,
+    init_kv_cache,
+)
 
 
 class LlamaModel:
@@ -111,7 +114,10 @@ class LlamaModel:
                 self.params, jnp.asarray(buf), jnp.int32(n_past),
                 self.kv, jnp.int32(t - 1))
         else:
-            logits, self.kv, self._embeddings = forward_jit(
+            # single-token steps take the decode jit (MSA pre-staging
+            # suppressed — see utils/xla_opts.py); prefill keeps defaults
+            fwd = forward_jit_decode if b == 1 else forward_jit
+            logits, self.kv, self._embeddings = fwd(
                 self.params, jnp.asarray(buf), jnp.int32(n_past),
                 self.kv, cfg, jnp.int32(t - 1))
         self.n_cached = max(self.n_cached, n_past + t)

@@ -26,6 +26,15 @@ def main():
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--out", default="/tmp/prof_decode")
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--dims", default="7b", choices=("7b", "13b"),
+                    help="model dims (weights are synthetic either way)")
+    ap.add_argument("--layers", type=int, default=0,
+                    help="override n_layer (0 = the family's real depth)")
+    ap.add_argument("--hlo", default="",
+                    help="also dump the compiled step's HLO to this path")
+    ap.add_argument("--copt", action="append", default=[],
+                    help="XLA compiler option key=value (repeatable), "
+                         "passed to jax.jit(compiler_options=...)")
     args = ap.parse_args()
 
     from fastllama_tpu.config import HyperParams
@@ -34,11 +43,20 @@ def main():
     )
     from __graft_entry__ import _build_model
 
-    hp = HyperParams(n_vocab=32000, n_embd=4096, n_head=32, n_layer=32,
-                     n_rot=128)
+    if args.dims == "13b":
+        hp = HyperParams(n_vocab=32000, n_embd=5120, n_head=40, n_layer=40,
+                         n_rot=128)
+        n_ff = 13824
+    else:
+        hp = HyperParams(n_vocab=32000, n_embd=4096, n_head=32, n_layer=32,
+                         n_rot=128)
+        n_ff = 11008
+    if args.layers:
+        import dataclasses
+        hp = dataclasses.replace(hp, n_layer=args.layers)
     n_ctx = 512
     print("devices:", jax.devices(), file=sys.stderr)
-    params = _build_model(hp, n_ff=11008)
+    params = _build_model(hp, n_ff=n_ff)
     jax.block_until_ready(params)
 
     cfg = ForwardConfig(n_head=hp.n_head, n_rot=hp.n_rot)
@@ -48,9 +66,19 @@ def main():
         nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)[:, None]
         return nxt, kv
 
-    step = jax.jit(decode_step, donate_argnums=(3,))
+    copts = dict(kv.split("=", 1) for kv in args.copt)
+    if copts:
+        print("compiler options:", copts, file=sys.stderr)
+    step = jax.jit(decode_step, donate_argnums=(3,),
+                   compiler_options=copts or None)
     kv = init_kv_cache(hp, args.batch, n_ctx, dtype=jnp.bfloat16)
     tok = jnp.zeros((args.batch, 1), jnp.int32)
+
+    if args.hlo:
+        txt = step.lower(params, tok, jnp.int32(0), kv).compile().as_text()
+        Path(args.hlo).write_text(txt)
+        print(f"wrote compiled HLO ({len(txt)} bytes) to {args.hlo}",
+              file=sys.stderr)
 
     def sync(tok):
         return int(np.asarray(tok)[0, 0])
