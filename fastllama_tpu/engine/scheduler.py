@@ -402,9 +402,12 @@ class BatchEngine:
             out_specs = (P(None, None), pd2, P(), pools, pools)
             step = shard_map(step, mesh=self.mesh, in_specs=in_specs,
                              out_specs=out_specs, check_vma=False)
-        from ..utils.xla_opts import decode_compiler_options
-        return jax.jit(step, donate_argnums=(14, 15),
-                       compiler_options=decode_compiler_options())
+        # NO decode compiler options here: suppressing MSA prefetch around
+        # the paged-attention + in-place kv_write custom calls measured a
+        # 27x device-step collapse (400 vs 15 ms/step, 7B B=8) — the paged
+        # kernels' aliased pools rely on MSA-scheduled copies. Slab keeps
+        # the flags (utils/xla_opts.py); see BASELINE.md.
+        return jax.jit(step, donate_argnums=(14, 15))
 
     def _build_prefill_paged(self):
         from ..models.llama import forward_paged_prefill
