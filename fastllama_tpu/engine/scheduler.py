@@ -346,10 +346,14 @@ class BatchEngine:
         use_kernel = (jax.default_backend() == "tpu" and hd % 128 == 0
                       and self.pager.page_size % 8 == 0)
         if use_kernel:
+            # whole-sequence compute blocks: ppcb=pages_per_seq measured
+            # 198.7 vs 290.3 us (ppcb=4) at length 448 (tools/
+            # bench_paged_attn.py sweep over ppcb {1,2,4,8}); short lengths
+            # pay ~8% which the long tail of a generation amortizes away
             def attn(q, kp, vp, lengths, tables):
                 return paged_attention_tpu(
                     q, kp, vp, lengths, tables,
-                    pages_per_compute_block=min(4, tables.shape[1]))
+                    pages_per_compute_block=tables.shape[1])
         else:
             attn = paged_attention_reference
 

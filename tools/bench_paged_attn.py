@@ -62,7 +62,7 @@ def main():
     for length in (s - PS, 64):
         lengths = jnp.full((b,), length, jnp.int32)
         frac = length / s
-        for ppcb in (4, pps):
+        for ppcb in (1, 2, 4, pps):
             def make_chain(reps, ppcb=ppcb):
                 @jax.jit
                 def chain(q):
