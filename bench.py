@@ -102,10 +102,22 @@ def main() -> int:
     for _ in range(iters):
         tok, n_past, kv = step(params, tok, n_past, kv)
     sync(tok)
-    dt = (time.time() - t0) - floor
+    t1 = time.time() - t0
+    # second leg at 3x iters: the slope removes per-run fixed overhead
+    # (final readback + dispatch ramp), approximating the device step rate
+    # so tunnel weather can't mask kernel regressions (VERDICT r2 weak #7)
+    t0 = time.time()
+    for _ in range(3 * iters):
+        tok, n_past, kv = step(params, tok, n_past, kv)
+    sync(tok)
+    t3 = time.time() - t0
+    dt = t1 - floor
     tps = iters / dt
+    dev_ms = (t3 - t1) / (2 * iters) * 1e3
+    dev_tps = 1e3 / dev_ms
     log(f"{iters} decode steps in {dt:.3f}s (floor-corrected) -> "
-        f"{tps:.1f} tokens/s ({dt / iters * 1e3:.2f} ms/token)")
+        f"{tps:.1f} tokens/s ({dt / iters * 1e3:.2f} ms/token); "
+        f"slope rate {dev_tps:.1f} tok/s ({dev_ms:.2f} ms/step)")
 
     baseline = 10.0
     baseline_src = "estimate"
@@ -114,16 +126,27 @@ def main() -> int:
     if os.path.exists(ref_path):
         with open(ref_path) as f:
             ref = json.load(f)
-        baseline = float(ref["tokens_per_sec"])
+        # per-dims baseline when present ("tokens_per_sec_13b"); the 7B
+        # reference number must not masquerade as a 13B speedup ratio
+        key = f"tokens_per_sec_{dims}"
+        if key in ref:
+            baseline = float(ref[key])
+        elif dims == "7b":
+            baseline = float(ref["tokens_per_sec"])
+        else:
+            baseline = None
         baseline_src = ref.get("source", "measured")
     log(f"baseline: {baseline} tokens/s ({baseline_src})")
 
-    print(json.dumps({
+    out = {
         "metric": f"decode_tokens_per_sec_per_chip_{dims}_q4_0",
         "value": round(tps, 2),
         "unit": "tokens/s",
-        "vs_baseline": round(tps / baseline, 2),
-    }))
+        "steady_state_tokens_per_sec": round(dev_tps, 2),
+    }
+    if baseline is not None:
+        out["vs_baseline"] = round(tps / baseline, 2)
+    print(json.dumps(out))
     return 0
 
 

@@ -349,11 +349,16 @@ class BatchEngine:
             # whole-sequence compute blocks: ppcb=pages_per_seq measured
             # 198.7 vs 290.3 us (ppcb=4) at length 448 (tools/
             # bench_paged_attn.py sweep over ppcb {1,2,4,8}); short lengths
-            # pay ~8% which the long tail of a generation amortizes away
+            # pay ~8% which the long tail of a generation amortizes away.
+            # Capped so the kernel's double-buffered K/V VMEM footprint
+            # (2*2*ppcb*page_size*hd bytes/head-group) stays ~<=2 MB at
+            # large n_ctx instead of scaling linearly with it.
+            ppcb_cap = max(1, (1 << 21) // (4 * self.pager.page_size * hd))
+
             def attn(q, kp, vp, lengths, tables):
                 return paged_attention_tpu(
                     q, kp, vp, lengths, tables,
-                    pages_per_compute_block=tables.shape[1])
+                    pages_per_compute_block=min(tables.shape[1], ppcb_cap))
         else:
             attn = paged_attention_reference
 

@@ -352,13 +352,18 @@ def _attention(x: jax.Array, layer: LayerParams, positions: jax.Array,
             ring_prefill, sp_decode_attention, sp_write_decode,
         )
         scale = 1.0 / math.sqrt(hd)
+        # f32 parity mode must pin HIGHEST like the slab einsums below.
+        sp_prec = (jax.lax.Precision.HIGHEST
+                   if cfg.w_jdtype == jnp.float32 else None)
         if t == 1:
             kv_k, kv_v = sp_write_decode(kv_k, kv_v, k, v, positions[:, 0],
                                          cfg.sp_axis)
             return finish(sp_decode_attention(
-                q, kv_k, kv_v, positions[:, 0], cfg.sp_axis, h, scale))
+                q, kv_k, kv_v, positions[:, 0], cfg.sp_axis, h, scale,
+                precision=sp_prec))
         ctx, kv_k, kv_v = ring_prefill(q, k, v, kv_k, kv_v, positions,
-                                       cfg.sp_axis, cfg.sp_size, scale)
+                                       cfg.sp_axis, cfg.sp_size, scale,
+                                       precision=sp_prec)
         return finish(ctx)
 
     if _flash_viable(cfg, t, hd):

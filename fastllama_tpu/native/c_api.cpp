@@ -25,6 +25,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <mutex>
 #include <new>
 
 #include "fastllama_c.h"
@@ -61,16 +62,23 @@ def _f32(a):
 PyObject* g_helpers = nullptr;  // dict holding the glue functions
 bool g_started_interp = false;
 
+std::once_flag g_py_once;
+
 void ensure_python() {
-    if (Py_IsInitialized()) return;
-    Py_InitializeEx(0);
-    g_started_interp = true;
-    if (const char* boot = std::getenv("FASTLLAMA_C_INIT")) {
-        if (PyRun_SimpleString(boot) != 0)
-            std::fprintf(stderr, "fastllama_c: FASTLLAMA_C_INIT failed\n");
-    }
-    // release the GIL so per-call PyGILState_Ensure works from any thread
-    PyEval_SaveThread();
+    // call_once: the header promises every entry point is callable from any
+    // thread; two first-callers racing Py_IsInitialized() could otherwise
+    // double-initialize or skip the GIL release.
+    std::call_once(g_py_once, [] {
+        if (Py_IsInitialized()) return;  // host app embeds Python already
+        Py_InitializeEx(0);
+        g_started_interp = true;
+        if (const char* boot = std::getenv("FASTLLAMA_C_INIT")) {
+            if (PyRun_SimpleString(boot) != 0)
+                std::fprintf(stderr, "fastllama_c: FASTLLAMA_C_INIT failed\n");
+        }
+        // release the GIL so per-call PyGILState_Ensure works from any thread
+        PyEval_SaveThread();
+    });
 }
 
 // must hold the GIL

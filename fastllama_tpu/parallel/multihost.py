@@ -49,9 +49,15 @@ def initialize(coordinator_address: str | None = None,
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
-    except (RuntimeError, ValueError):
-        # single-process run (tests, one-VM) — distributed not required
-        pass
+    except (RuntimeError, ValueError) as e:
+        # Tolerable ONLY when no multi-process run was requested (tests,
+        # one-VM). A pod job that silently degrades to single-process would
+        # compute a different mesh on every host — fail loudly instead.
+        if num_processes is not None and num_processes > 1:
+            raise
+        import warnings
+        warnings.warn(f"jax.distributed.initialize failed ({e!r}); "
+                      "continuing single-process")
 
 
 def hybrid_mesh(dp: int, tp: int) -> Mesh:

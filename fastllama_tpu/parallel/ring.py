@@ -42,7 +42,7 @@ _NEG = _np.float32(-1e30)
 
 
 def ring_prefill(q, k, v, kv_k, kv_v, positions, axis_name: str, sp: int,
-                 scale: float):
+                 scale: float, precision=None):
     """Causal ring attention over a T-sharded fresh-prompt window.
 
     Args:
@@ -51,6 +51,8 @@ def ring_prefill(q, k, v, kv_k, kv_v, positions, axis_name: str, sp: int,
       positions: [B, T_loc] GLOBAL positions of the local chunk (the cache
         row a token lands in is its global position; n_past must be 0).
       axis_name: mesh axis the sequence is sharded over; sp: its size.
+      precision: dot precision for the attention einsums; f32 parity mode
+        must pass HIGHEST (TPU's default downcasts f32 to bf16 MXU passes).
     Returns (ctx [B, T_loc, H, Dh] f32, kv_k, kv_v) with every cache row
     owned by this shard written as the chunks transit the ring.
     """
@@ -73,7 +75,8 @@ def ring_prefill(q, k, v, kv_k, kv_v, positions, axis_name: str, sp: int,
     k_c, v_c, pos_c = k, v, positions
     for step in range(sp):
         kf = k_c.astype(jnp.float32)
-        scores = jnp.einsum("bthd,bshd->bhts", qf, kf) * scale
+        scores = jnp.einsum("bthd,bshd->bhts", qf, kf,
+                            precision=precision) * scale
         mask = pos_c[:, None, None, :] <= q_pos[:, None, :, None]
         scores = jnp.where(mask, scores, _NEG)
         m_new = jnp.maximum(m, jnp.max(scores, axis=-1, keepdims=True))
@@ -83,7 +86,8 @@ def ring_prefill(q, k, v, kv_k, kv_v, positions, axis_name: str, sp: int,
         p = jnp.where(mask, jnp.exp(scores - m_new), 0.0)
         l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jnp.einsum("bhts,bshd->bhtd", p,
-                                       v_c.astype(jnp.float32))
+                                       v_c.astype(jnp.float32),
+                                       precision=precision)
         m = m_new
 
         # Collect the transiting chunk's rows that live in this shard's
@@ -125,7 +129,7 @@ def sp_write_decode(kv_k, kv_v, k, v, pos, axis_name: str):
 
 
 def sp_decode_attention(q, kv_k, kv_v, pos, axis_name: str, n_head: int,
-                        scale: float):
+                        scale: float, precision=None):
     """Decode attention over a sequence-sharded cache (split-S merge).
 
     q: [B, 1, H, Dh]; kv_k/kv_v: [B, S_loc, H*Dh] local slabs; pos: [B]
@@ -138,7 +142,8 @@ def sp_decode_attention(q, kv_k, kv_v, pos, axis_name: str, n_head: int,
     keys = kv_k.reshape(b, s_loc, n_head, hd).astype(jnp.float32)
     vals = kv_v.reshape(b, s_loc, n_head, hd).astype(jnp.float32)
 
-    scores = jnp.einsum("bthd,bshd->bhts", q.astype(jnp.float32), keys) * scale
+    scores = jnp.einsum("bthd,bshd->bhts", q.astype(jnp.float32), keys,
+                        precision=precision) * scale
     k_pos = base + jnp.arange(s_loc, dtype=jnp.int32)
     mask = k_pos[None, None, None, :] <= pos[:, None, None, None]
     scores = jnp.where(mask, scores, _NEG)
@@ -146,7 +151,7 @@ def sp_decode_attention(q, kv_k, kv_v, pos, axis_name: str, n_head: int,
     m_loc = jnp.max(scores, axis=-1, keepdims=True)       # [B, H, 1, 1]
     p = jnp.where(mask, jnp.exp(scores - m_loc), 0.0)
     l_loc = jnp.sum(p, axis=-1, keepdims=True)
-    acc = jnp.einsum("bhts,bshd->bhtd", p, vals)
+    acc = jnp.einsum("bhts,bshd->bhtd", p, vals, precision=precision)
 
     m_g = jax.lax.pmax(m_loc, axis_name)
     coef = jnp.exp(m_loc - m_g)            # 0 for shards with no valid rows
