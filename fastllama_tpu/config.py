@@ -80,6 +80,11 @@ class RuntimeConfig:
     weight_dtype: str = "bfloat16"    # dequant target dtype on the MXU
     mesh_shape: tuple[int, ...] = ()  # () = single chip
     mesh_axes: tuple[str, ...] = ("data", "model")
+    # Single-stream sessions: reinterpret mesh_shape's data axis as the
+    # SEQUENCE axis (parallel/ring.py) — the KV cache shards over positions
+    # and prefill runs ring attention, so n_ctx scales out with chips.
+    # Ignored by the BatchEngine (its data axis is the batch).
+    seq_parallel: bool = False
     prefill_buckets: tuple[int, ...] = (16, 64, 128, 256, 512, 1024, 2048)
     use_pallas: bool | None = None    # None = auto
     # Tracing (reference analog: ggml perf counters + graph_print): when

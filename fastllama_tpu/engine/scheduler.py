@@ -340,12 +340,25 @@ class BatchEngine:
             cfg = dataclasses.replace(
                 cfg, n_head=self.hp.n_head // self.tp, tp_axis=MODEL_AXIS)
         top_k_cap = self.top_k
-        # the library Pallas kernel needs lane-aligned head_dim (128) and a
-        # page_size that tiles; small test models fall back to the reference
+        # Own fused page-gather kernel first (kernels/paged_attention.py —
+        # 31 vs 100 us at 7B B=8 len=64, 117 vs 155 at len=448, against the
+        # best-tuned library kernel; the library grids per (b, head,
+        # page-block) and its per-cell overhead dominated the paged step at
+        # 5.44 ms — BASELINE.md round-2 profile). Library kernel as the
+        # fallback for shapes the own kernel can't tile (VMEM window,
+        # alignment); jnp reference for tiny test models.
         hd = self.hp.head_dim
-        use_kernel = (jax.default_backend() == "tpu" and hd % 128 == 0
-                      and self.pager.page_size % 8 == 0)
-        if use_kernel:
+        h_local = self.hp.n_head // self.tp
+        from ..kernels.paged_attention import (
+            paged_attn_supported, paged_decode_attention,
+        )
+        pager = self.pager
+        on_tpu = jax.default_backend() == "tpu"
+        if on_tpu and paged_attn_supported(
+                h_local, pager.pages_per_seq, pager.page_size, hd,
+                jnp.dtype(pager.dtype).itemsize):
+            attn = paged_decode_attention
+        elif on_tpu and hd % 128 == 0 and pager.page_size % 8 == 0:
             # whole-sequence compute blocks: ppcb=pages_per_seq measured
             # 198.7 vs 290.3 us (ppcb=4) at length 448 (tools/
             # bench_paged_attn.py sweep over ppcb {1,2,4,8}); short lengths
@@ -353,7 +366,7 @@ class BatchEngine:
             # Capped so the kernel's double-buffered K/V VMEM footprint
             # (2*2*ppcb*page_size*hd bytes/head-group) stays ~<=2 MB at
             # large n_ctx instead of scaling linearly with it.
-            ppcb_cap = max(1, (1 << 21) // (4 * self.pager.page_size * hd))
+            ppcb_cap = max(1, (1 << 21) // (4 * pager.page_size * hd))
 
             def attn(q, kp, vp, lengths, tables):
                 return paged_attention_tpu(

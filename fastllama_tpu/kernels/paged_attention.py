@@ -1,0 +1,179 @@
+"""Own paged decode-attention kernel: per-sequence page gather + attention.
+
+Replaces the library kernel (jax.experimental.pallas.ops.tpu.paged_attention)
+in the engine's paged decode step. The library kernel grids over
+(core, batch, head, page-block) and copies each head's pages separately —
+profiled at ~170 us/layer at 7B B=8 where the actual KV data is ~12 us of
+HBM traffic (BASELINE.md round-2 profile): the cost is per-cell fixed
+overhead on thousands of tiny (page_size x head_dim = ~4 KB) DMAs, not
+bandwidth.
+
+This kernel grids over (batch, head-group) — 8..16 cells per layer instead
+of thousands — and gathers each sequence's pages with ONE strided DMA per
+page covering the whole head group ([g, page_size, head_dim] ~ 128 KB),
+all started concurrently so latency is the slowest page, not the sum
+(the DMA-engine recipe of the library kernel, at g*page_size*head_dim
+granularity instead of page_size*head_dim). Only ceil(len/ps) pages move:
+short sequences read less HBM than the slab kernel reads for the same
+step. The masked softmax then runs exactly like kernels/decode_attention.py
+over the VMEM-resident window.
+
+The reference's analog is the decode attention subgraph of Model::eval
+(/root/reference/lib/llama.cpp:346-403); paging itself is a north-star
+addition (SURVEY §2.3) with no reference counterpart.
+
+Numerical contract matches engine/paged_kv.paged_attention_reference:
+f32 scores/softmax, keys s < lengths[b] participate, 1/sqrt(d) scale
+applied in-kernel.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _paged_attn_kernel(lens_ref, tables_ref, q_ref, kp_ref, vp_ref, o_ref,
+                       k_scr, v_scr, sems, *, scale, ps, pp, g):
+    b = pl.program_id(0)
+    gi = pl.program_id(1)
+    h0 = gi * g
+    s = pp * ps
+    slen = lens_ref[b]
+    npages = jnp.minimum(jax.lax.div(slen + ps - 1, ps), pp)
+
+    # One-time scratch sanitation: the very first cell may see uninitialized
+    # VMEM whose bit patterns decode to NaN; a NaN row beyond the copied
+    # pages would poison the V dot even under a zeroed probability lane
+    # (0 * NaN = NaN inside the MXU accumulation). Later cells only ever see
+    # stale pool data, which is finite. ~8 MB of VPU stores ~ a few us.
+    @pl.when((b == 0) & (gi == 0))
+    def _():
+        k_scr[...] = jnp.zeros_like(k_scr)
+        v_scr[...] = jnp.zeros_like(v_scr)
+
+    def dma(j, which):
+        pid = tables_ref[b * pp + j]
+        src = kp_ref if which == 0 else vp_ref
+        dst = k_scr if which == 0 else v_scr
+        return pltpu.make_async_copy(
+            src.at[pl.ds(h0, g), pid],
+            dst.at[:, pl.ds(j * ps, ps), :],
+            sems.at[which])
+
+    def start(j, c):
+        dma(j, 0).start()
+        dma(j, 1).start()
+        return c
+
+    jax.lax.fori_loop(0, npages, start, 0)
+
+    def wait(j, c):
+        dma(j, 0).wait()
+        dma(j, 1).wait()
+        return c
+
+    jax.lax.fori_loop(0, npages, wait, 0)
+
+    kd = k_scr.dtype
+    q_mx = q_ref[0].astype(kd)                         # [g, d]
+    for hi in range(g):
+        k = k_scr[hi]                                  # [S, d], cache dtype
+        scores = jax.lax.dot_general(
+            q_mx[hi:hi + 1], k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale    # [1, S]
+        pos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        mask = pos < slen
+        scores = jnp.where(mask, scores, jnp.float32(-1e30))
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.where(mask, jnp.exp(scores - m), 0.0)
+        l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+        v = v_scr[hi]
+        ctx = jax.lax.dot_general(
+            p.astype(kd), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [1, d]
+        o_ref[0, hi:hi + 1, :] = ctx / l
+
+
+# No double buffering across grid cells, so the window budget can use most
+# of the 16 MB scoped-VMEM; leave headroom for q/o tiles and Mosaic spills.
+_VMEM_BUDGET = 12 << 20
+
+
+def paged_attn_group(h: int, pp: int, ps: int, d: int, itemsize: int):
+    """Heads per grid cell: the largest divisor of h whose K+V scratch
+    windows ([g, pp*ps, d] each) fit the budget; None when even g=1
+    doesn't (callers fall back to the library kernel)."""
+    per_head = 2 * pp * ps * d * itemsize
+    for g in range(h, 0, -1):
+        if h % g == 0 and per_head * g <= _VMEM_BUDGET:
+            return g
+    return None
+
+
+def paged_attn_supported(h: int, pp: int, ps: int, d: int,
+                         itemsize: int = 2) -> bool:
+    """Mosaic shape gate: lane-aligned head dim, 8-row page groups (the
+    scratch rows land at j*ps sublane offsets), and a fitting head group."""
+    return (d % 128 == 0 and ps % 8 == 0
+            and paged_attn_group(h, pp, ps, d, itemsize) is not None)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "group_size"))
+def paged_decode_attention(q: jax.Array, k_pages: jax.Array,
+                           v_pages: jax.Array, lengths: jax.Array,
+                           page_indices: jax.Array, *,
+                           group_size: int = 0,
+                           interpret: bool = False) -> jax.Array:
+    """ctx[B, H, D] = softmax(q . K[:len] / sqrt(D)) @ V[:len], paged.
+
+    Args:
+      q: [B, H, D] post-RoPE queries for the current token.
+      k_pages/v_pages: [H, P, ps, D] page pools (the new token's row already
+        written — kernels/kv_write.py runs first in forward_paged_decode).
+      lengths: [B] int32 — number of keys to attend (incl. the new token).
+      page_indices: [B, pages_per_seq] int32 physical page ids; entries past
+        ceil(lengths/ps) are never read.
+    Returns [B, H, D] f32.
+    """
+    b, h, d = q.shape
+    hp, p, ps, dp_ = k_pages.shape
+    assert (hp, dp_) == (h, d), (q.shape, k_pages.shape)
+    pp = page_indices.shape[1]
+    scale = 1.0 / math.sqrt(d)
+    lengths = jnp.asarray(lengths, jnp.int32).reshape(b)
+    tables = jnp.asarray(page_indices, jnp.int32).reshape(b * pp)
+
+    g = group_size or paged_attn_group(
+        h, pp, ps, d, jnp.dtype(k_pages.dtype).itemsize)
+    assert g is not None, "caller must gate on paged_attn_supported"
+    ng = h // g
+
+    kernel = functools.partial(_paged_attn_kernel, scale=scale, ps=ps,
+                               pp=pp, g=g)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            in_specs=[
+                pl.BlockSpec((1, g, d), lambda bi, gi, *_: (bi, gi, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, g, d), lambda bi, gi, *_: (bi, gi, 0)),
+            grid=(b, ng),
+            scratch_shapes=[
+                pltpu.VMEM((g, pp * ps, d), k_pages.dtype),
+                pltpu.VMEM((g, pp * ps, d), v_pages.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(lengths, tables, q, k_pages, v_pages)

@@ -161,6 +161,11 @@ class ForwardConfig:
     # HBM — the reference has no analog (n_ctx bounded by host RAM).
     sp_axis: str | None = None
     sp_size: int = 1                # size of sp_axis (static, for the ring)
+    # Chunked sequence-parallel ingest: seed the ring's online softmax with
+    # attention over the cache prefix (rows < n_past) so windows can arrive
+    # in n_batch chunks like the session's ingest loop. False keeps the
+    # fresh-window-only trace (one einsum cheaper).
+    sp_chunked: bool = False
     # Caller's promise that this trace only ever runs with n_past == 0
     # (fresh-prompt prefill). Lets attention use the Pallas flash kernel
     # (online softmax, no [T, S] scores in HBM) over just the in-window
@@ -361,9 +366,16 @@ def _attention(x: jax.Array, layer: LayerParams, positions: jax.Array,
             return finish(sp_decode_attention(
                 q, kv_k, kv_v, positions[:, 0], cfg.sp_axis, h, scale,
                 precision=sp_prec))
+        win_start = None
+        if cfg.sp_chunked:
+            # global window start (== n_past): shard i's first local
+            # position minus its chunk offset in the window
+            win_start = (positions[:, 0]
+                         - jax.lax.axis_index(cfg.sp_axis) * t)
         ctx, kv_k, kv_v = ring_prefill(q, k, v, kv_k, kv_v, positions,
                                        cfg.sp_axis, cfg.sp_size, scale,
-                                       precision=sp_prec)
+                                       precision=sp_prec,
+                                       win_start=win_start)
         return finish(ctx)
 
     if _flash_viable(cfg, t, hd):

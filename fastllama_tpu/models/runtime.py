@@ -61,22 +61,35 @@ class LlamaModel:
         # multi-chip: shard weights/KV over a Mesh and swap in the shard_map
         # forward (rcfg.mesh_shape, e.g. (1, 8) = tp over 8 chips)
         self.mesh = None
+        self.sp = 1
         self._sharded_fwd = {}
         if rcfg.mesh_shape and int(np.prod(rcfg.mesh_shape)) > 1:
             from ..parallel.sharding import (
-                make_mesh, make_sharded_forward, shard_kv, shard_params,
+                make_mesh, shard_kv, shard_kv_seq, shard_params,
             )
             n_data, n_model = (rcfg.mesh_shape if len(rcfg.mesh_shape) == 2
                                else (1, rcfg.mesh_shape[0]))
-            if n_data != 1:
+            if n_data != 1 and not rcfg.seq_parallel:
                 raise ValueError(
                     "the single-stream LlamaModel is batch=1 and cannot be "
-                    "data-parallel; use mesh_shape=(1, tp) here, or the "
-                    "continuous-batching BatchEngine for a data axis")
+                    "data-parallel; use mesh_shape=(1, tp) here (or set "
+                    "rcfg.seq_parallel to shard the SEQUENCE over the data "
+                    "axis), or the continuous-batching BatchEngine")
             self.mesh = make_mesh(n_data=n_data, n_model=n_model)
             self.params = shard_params(self.params, self.mesh)
-            self.kv = shard_kv(self.kv, self.mesh)
-            logger.log("Model", f"sharded over mesh dp={n_data} tp={n_model}\n")
+            if n_data != 1:
+                # sequence parallelism: cache row == global position,
+                # positions sharded over the data axis (parallel/ring.py)
+                if rcfg.n_ctx % n_data:
+                    raise ValueError(
+                        f"n_ctx={rcfg.n_ctx} must divide sp={n_data}")
+                self.sp = n_data
+                self.kv = shard_kv_seq(self.kv, self.mesh)
+            else:
+                self.kv = shard_kv(self.kv, self.mesh)
+            logger.log("Model",
+                       f"sharded over mesh {'sp' if self.sp > 1 else 'dp'}="
+                       f"{n_data} tp={n_model}\n")
 
     # -- eval ---------------------------------------------------------------
 
@@ -105,12 +118,19 @@ class LlamaModel:
                 f"eval window [{n_past}, {n_past + t}) exceeds n_ctx={self.hp.n_ctx}")
 
         b = self._bucket(t, n_past)
+        if self.sp > 1 and b > 1:
+            # prefill windows shard over the sequence axis: T % sp == 0.
+            # Padded tail rows land past the real window (causally masked;
+            # cache writes past n_ctx drop) and are overwritten by the next
+            # chunk's real tokens before anything attends them.
+            b = min(-(-b // self.sp) * self.sp, self.hp.n_ctx)
         buf = np.zeros((1, b), np.int32)
         buf[0, :t] = np.asarray(tokens, np.int32)
 
         cfg = self._cfg[(all_logits, n_past == 0 and t > 1)]
         if self.mesh is not None:
-            logits, self.kv, self._embeddings = self._get_sharded(cfg)(
+            logits, self.kv, self._embeddings = self._get_sharded(
+                cfg, decode=b == 1)(
                 self.params, jnp.asarray(buf), jnp.int32(n_past),
                 self.kv, jnp.int32(t - 1))
         else:
@@ -125,13 +145,23 @@ class LlamaModel:
         out = np.asarray(logits[0])
         return out[:t] if all_logits else out[-1]
 
-    def _get_sharded(self, cfg: ForwardConfig):
+    def _get_sharded(self, cfg: ForwardConfig, decode: bool = False):
         """Lazily built+cached shard_map forward per static config."""
-        if cfg not in self._sharded_fwd:
-            from ..parallel.sharding import make_sharded_forward
-            self._sharded_fwd[cfg] = make_sharded_forward(
-                self.mesh, self.params, cfg)
-        return self._sharded_fwd[cfg]
+        key = (cfg, decode)
+        if key not in self._sharded_fwd:
+            from ..parallel.sharding import (
+                make_seq_parallel_forward, make_sharded_forward,
+            )
+            if self.sp > 1:
+                # chunked=True: ring prefill seeds its online softmax from
+                # the cache prefix, so the session's n_batch ingest loop
+                # (and recycle re-feeds at n_past == n_keep) just work
+                self._sharded_fwd[key] = make_seq_parallel_forward(
+                    self.mesh, self.params, cfg, decode=decode, chunked=True)
+            else:
+                self._sharded_fwd[key] = make_sharded_forward(
+                    self.mesh, self.params, cfg)
+        return self._sharded_fwd[key]
 
     def get_embeddings(self) -> np.ndarray:
         """Final-norm hidden state of the last evaluated token
@@ -170,8 +200,9 @@ class LlamaModel:
             vv[:, :n] = state["kv_v"][li]
             new_kv.append((jnp.asarray(kk, kv_dtype), jnp.asarray(vv, kv_dtype)))
         if self.mesh is not None:
-            from ..parallel.sharding import shard_kv
-            new_kv = shard_kv(new_kv, self.mesh)
+            from ..parallel.sharding import shard_kv, shard_kv_seq
+            new_kv = (shard_kv_seq(new_kv, self.mesh) if self.sp > 1
+                      else shard_kv(new_kv, self.mesh))
         self.kv = new_kv
         self.n_cached = n
 

@@ -42,17 +42,24 @@ _NEG = _np.float32(-1e30)
 
 
 def ring_prefill(q, k, v, kv_k, kv_v, positions, axis_name: str, sp: int,
-                 scale: float, precision=None):
-    """Causal ring attention over a T-sharded fresh-prompt window.
+                 scale: float, precision=None, win_start=None):
+    """Causal ring attention over a T-sharded prompt window.
 
     Args:
       q/k/v: [B, T_loc, H, Dh] post-RoPE, this shard's token chunk.
       kv_k/kv_v: [B, S_loc, H*Dh] local cache slabs (sequence-sharded).
       positions: [B, T_loc] GLOBAL positions of the local chunk (the cache
-        row a token lands in is its global position; n_past must be 0).
+        row a token lands in is its global position).
       axis_name: mesh axis the sequence is sharded over; sp: its size.
       precision: dot precision for the attention einsums; f32 parity mode
         must pass HIGHEST (TPU's default downcasts f32 to bf16 MXU passes).
+      win_start: [B] global position of the window's first token (== n_past).
+        None = fresh window (n_past 0): only the transiting chunks attend.
+        Otherwise the ONLINE STATE IS SEEDED with attention over the cache
+        prefix (rows < win_start): each shard scores its local resident rows
+        and the partials merge across shards with the split-S pmax/psum
+        reduction — this is what makes CHUNKED ingest (the session's n_batch
+        loop) feed ring attention, VERDICT r2 #5.
     Returns (ctx [B, T_loc, H, Dh] f32, kv_k, kv_v) with every cache row
     owned by this shard written as the chunks transit the ring.
     """
@@ -70,6 +77,35 @@ def ring_prefill(q, k, v, kv_k, kv_v, positions, axis_name: str, sp: int,
     acc = jnp.swapaxes(qf, 1, 2) * 0                      # [B, H, T, Dh]
     m = acc[..., :1] + _NEG                               # [B, H, T, 1]
     l = acc[..., :1]
+
+    if win_start is not None:
+        # Seed with the resident prefix (rows written by earlier chunks).
+        # Prefix rows live only on the shards that own them while queries
+        # are T-sharded, so EVERY query must visit EVERY shard's resident
+        # rows: all-gather the (small) query block, score it against the
+        # local rows, split-S-merge the per-shard partials, then slice this
+        # shard's own queries back out. An empty prefix degenerates safely:
+        # all-masked scores give m_loc == _NEG, coef == 1, l/acc == 0.
+        q_all = jax.lax.all_gather(qf, axis_name, axis=1, tiled=True)
+        keys = kv_k.reshape(b, s_loc, h, hd).astype(jnp.float32)
+        vals = kv_v.reshape(b, s_loc, h, hd).astype(jnp.float32)
+        scores = jnp.einsum("bthd,bshd->bhts", q_all, keys,
+                            precision=precision) * scale
+        k_pos = base_cache + jnp.arange(s_loc, dtype=jnp.int32)
+        pmask = k_pos[None, None, None, :] < win_start[:, None, None, None]
+        scores = jnp.where(pmask, scores, _NEG)
+        m_loc = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.where(pmask, jnp.exp(scores - m_loc), 0.0)
+        l_loc = jnp.sum(p, axis=-1, keepdims=True)
+        a_loc = jnp.einsum("bhts,bshd->bhtd", p, vals, precision=precision)
+        m_g = jax.lax.pmax(m_loc, axis_name)
+        coef = jnp.exp(m_loc - m_g)
+        l_g = jax.lax.psum(l_loc * coef, axis_name)
+        acc_g = jax.lax.psum(a_loc * coef, axis_name)
+        own = jnp.int32(idx * t)
+        m = jax.lax.dynamic_slice_in_dim(m_g, own, t, axis=2)
+        l = jax.lax.dynamic_slice_in_dim(l_g, own, t, axis=2)
+        acc = jax.lax.dynamic_slice_in_dim(acc_g, own, t, axis=2)
 
     perm = [(j, (j + 1) % sp) for j in range(sp)]
     k_c, v_c, pos_c = k, v, positions

@@ -265,7 +265,8 @@ def shard_kv_seq(kv: list[KVPair], mesh: Mesh) -> list[KVPair]:
 
 
 def make_seq_parallel_forward(mesh: Mesh, params: LlamaParams,
-                              cfg: ForwardConfig, decode: bool = False):
+                              cfg: ForwardConfig, decode: bool = False,
+                              chunked: bool = False):
     """Long-context forward over a sequence-sharded KV cache (parallel/ring).
 
     The mesh's data axis becomes the SEQUENCE axis (sp shards): each chip
@@ -290,7 +291,7 @@ def make_seq_parallel_forward(mesh: Mesh, params: LlamaParams,
         raise ValueError(f"n_head={cfg.n_head} not divisible by tp={tp}")
     local_cfg = dataclasses.replace(
         cfg, n_head=cfg.n_head // tp, tp_axis=MODEL_AXIS,
-        sp_axis=DATA_AXIS, sp_size=sp)
+        sp_axis=DATA_AXIS, sp_size=sp, sp_chunked=chunked)
 
     pspecs = params_pspec_tree(params)
     kv_specs = [(SEQ_KV_SPEC, SEQ_KV_SPEC)] * len(params.layers)

@@ -39,3 +39,27 @@ def test_large_dims_shard_and_run(name, n_embd, n_head, n_ff, tp):
                         jnp.int32(0))
     assert logits2.shape == (1, 1, 32000)
     assert np.isfinite(np.asarray(logits2)).all()
+
+
+@pytest.mark.parametrize("kv_mode", ["slab", "paged"])
+def test_65b_dims_engine_admit_and_decode(kv_mode):
+    """BatchEngine admission + decode at 65B per-layer dims (n_embd=8192,
+    n_ff=22016, 64 heads) under tp=8, slab AND paged: the full engine code
+    path (prefill scatter, batched decode, on-device sampling) at BASELINE
+    config #5's shapes, as far as a single process can validate it."""
+    from fastllama_tpu.config import RuntimeConfig
+    from fastllama_tpu.engine.scheduler import BatchEngine, Request
+    from test_session import tiny_vocab
+
+    hp = HyperParams(n_vocab=32000, n_embd=8192, n_head=64, n_layer=2,
+                     n_rot=128)
+    params = _build_model(hp, n_ff=22016, dtype_scale=0.01)
+    vocab = tiny_vocab(1024)
+    rcfg = RuntimeConfig(use_pallas=False, prefill_buckets=(8,),
+                         mesh_shape=(1, 8))
+    eng = BatchEngine(hp, params, vocab, n_slots=2, n_ctx=16, rcfg=rcfg,
+                      temp=0.0, kv_mode=kv_mode, page_size=8)
+    req = Request(prompt="w3 w4", max_tokens=3)
+    eng.run([req])
+    assert req.done
+    assert len(req.tokens_out) == 3

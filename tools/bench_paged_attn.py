@@ -58,6 +58,28 @@ def main():
 
     from fastllama_tpu.engine.paged_kv import paged_attention_tpu
     from fastllama_tpu.kernels.decode_attention import decode_attention
+    from fastllama_tpu.kernels.paged_attention import (
+        paged_attn_supported, paged_decode_attention,
+    )
+
+    assert paged_attn_supported(H, pps, PS, D)
+    for length in (s - PS, 64):
+        lengths = jnp.full((b,), length, jnp.int32)
+        frac = length / s
+
+        def make_chain(reps):
+            @jax.jit
+            def chain(q):
+                for _ in range(reps):
+                    o = paged_decode_attention(q.astype(jnp.bfloat16), kp, vp,
+                                               lengths, tables)
+                    q = q * 0.5 + o.astype(jnp.float32) * 1e-3
+                return q
+            return chain
+        dt = slope(make_chain, args.reps, q0)
+        print(f"own    len={length:4d}: {dt * 1e6:7.1f} us "
+              f"({kv_bytes * frac / dt / 1e9:6.1f} GB/s of live KV)",
+              flush=True)
 
     for length in (s - PS, 64):
         lengths = jnp.full((b,), length, jnp.int32)
