@@ -81,11 +81,13 @@ int main(int argc, char** argv) {
      * context. Report the arg-max of the final position as a sanity line. */
     struct llama_array_view_f logits = llama_get_logits(ctx);
     if (logits.size > 0) {
+        size_t n_vocab = (size_t)llama_get_n_vocab(ctx);
         size_t best = 0, i;
         for (i = 1; i < logits.size; ++i)
             if (logits.data[i] > logits.data[best]) best = i;
         printf("logit view: %zu values, argmax id %zu (%.3f)\n",
-               logits.size, best % (size_t)32000, logits.data[best]);
+               logits.size, n_vocab ? best % n_vocab : best,
+               logits.data[best]);
     }
 
     llama_free_context(ctx);

@@ -132,5 +132,10 @@ class Model:
 
     # convenience passthroughs
     @property
+    def n_vocab(self) -> int:
+        """Logical vocabulary size (the width of one logits row)."""
+        return int(self._model.hp.n_vocab)
+
+    @property
     def session(self) -> FastLlama:
         return self._session

@@ -275,6 +275,11 @@ class FastLlama:
             if block < 2:
                 break
             logits = self.model.eval(0, tokens[i:i + block], all_logits=True)
+            # eval refreshes the logits view (reference: every llama_eval
+            # fills the buffer bridge.cpp:152-155 exposes) — all positions
+            # when the session was built for all-logits, else the last row
+            self._logits = (logits if self.model.rcfg.should_get_all_logits
+                            else logits[-1])
             for j in range(block // 2, block - 1):
                 row = logits[j].astype(np.float64)
                 row -= row.max()

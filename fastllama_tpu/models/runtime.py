@@ -82,7 +82,7 @@ class LlamaModel:
                 # positions sharded over the data axis (parallel/ring.py)
                 if rcfg.n_ctx % n_data:
                     raise ValueError(
-                        f"n_ctx={rcfg.n_ctx} must divide sp={n_data}")
+                        f"n_ctx={rcfg.n_ctx} must be divisible by sp={n_data}")
                 self.sp = n_data
                 self.kv = shard_kv_seq(self.kv, self.mesh)
             else:

@@ -484,6 +484,23 @@ struct llama_array_view_f llama_get_logits(
     return view_method(ctx, "get_logits", c ? &c->logits : nullptr);
 }
 
+int llama_get_n_vocab(struct llama_model_context const* ctx) {
+    if (!ctx || !ctx->model) return 0;
+    GilGuard gil;
+    PyObject* v = PyObject_GetAttrString(ctx->model, "n_vocab");
+    if (!v) {
+        PyErr_Print();
+        return 0;
+    }
+    long n = PyLong_AsLong(v);
+    Py_DECREF(v);
+    if (PyErr_Occurred()) {
+        PyErr_Clear();
+        return 0;
+    }
+    return static_cast<int>(n);
+}
+
 bool llama_save_state(struct llama_model_context* ctx, char const* filepath) {
     return path_method(ctx, "save_state", filepath);
 }

@@ -121,6 +121,10 @@ struct llama_array_view_f llama_get_embeddings(
 struct llama_array_view_f llama_get_logits(
     struct llama_model_context const* ctx);
 
+/* Vocabulary size of the loaded model (the width of one logits row);
+ * 0 before a model is loaded. */
+int llama_get_n_vocab(struct llama_model_context const* ctx);
+
 /* Session state (KV prefix, RNG, token buffer) save / restore. */
 bool llama_save_state(struct llama_model_context* ctx, char const* filepath);
 bool llama_load_state(struct llama_model_context* ctx, char const* filepath);

@@ -40,15 +40,25 @@ from .sharding import DATA_AXIS, MODEL_AXIS, make_mesh
 
 def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
-               process_id: int | None = None) -> None:
+               process_id: int | None = None,
+               initialization_timeout: int | None = None) -> None:
     """Bring up the JAX distributed runtime (no-op if already up or single
-    process). On Cloud TPU pods all three arguments are auto-discovered."""
-    if jax.process_count() > 1:
+    process). On Cloud TPU pods all three arguments are auto-discovered.
+
+    IMPORTANT: the already-initialized guard must not touch the XLA backend
+    — `jax.process_count()` initializes it, after which
+    `jax.distributed.initialize` always raises "must be called before any
+    JAX calls". `jax.distributed.is_initialized()` inspects only the
+    distributed client state."""
+    if jax.distributed.is_initialized():
         return  # already initialized
+    kw = {}
+    if initialization_timeout is not None:
+        kw["initialization_timeout"] = initialization_timeout
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
-                                   process_id=process_id)
+                                   process_id=process_id, **kw)
     except (RuntimeError, ValueError) as e:
         # Tolerable ONLY when no multi-process run was requested (tests,
         # one-VM). A pod job that silently degrades to single-process would
@@ -78,9 +88,18 @@ def hybrid_mesh(dp: int, tp: int) -> Mesh:
     if dp != n_proc * dp_local:
         raise ValueError(
             f"dp={dp} must equal hosts*local_dp = {n_proc}*{dp_local}")
-    devices = mesh_utils.create_hybrid_device_mesh(
-        (dp_local, tp), (n_proc, 1))          # DCN axis outermost on dp
-    return Mesh(np.asarray(devices).reshape(dp, tp), (DATA_AXIS, MODEL_AXIS))
+    try:
+        devices = mesh_utils.create_hybrid_device_mesh(
+            (dp_local, tp), (n_proc, 1))      # DCN axis outermost on dp
+        arr = np.asarray(devices).reshape(dp, tp)
+    except ValueError:
+        # Virtual CPU devices (and some single-slice topologies) all report
+        # slice_index 0, so mesh_utils can't see the host boundary. Order
+        # manually: host-major on dp (processes outermost), each host's tp
+        # groups contiguous in local-device order — the same contract.
+        devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+        arr = np.asarray(devs).reshape(dp, tp)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
 def owned_slots(n_slots: int, mesh: Mesh) -> range:

@@ -32,11 +32,46 @@ def test_owned_slots_single_process_full_range():
 def test_initialize_failure_raises_when_multiprocess_requested():
     """A pod job must not silently degrade to single-process (every host
     would compute a different mesh). initialize() re-raises when
-    num_processes > 1 was explicitly requested."""
-    import pytest
-    with pytest.raises((RuntimeError, ValueError)):
-        multihost.initialize(coordinator_address="localhost:1",
-                             num_processes=2, process_id=0)
+    num_processes > 1 was explicitly requested.
+
+    Runs in a FRESH subprocess: in the pytest process the backend is
+    already up (conftest), so the backend-ordering error would mask the
+    coordinator-failure path this test is about. Worker 1 is pointed at
+    an unroutable coordinator with a short timeout; it must exit nonzero
+    with the coordinator error surfaced, never degrade to single-process."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "from fastllama_tpu.parallel import multihost\n"
+        "try:\n"
+        "    multihost.initialize(coordinator_address='localhost:1',\n"
+        "                         num_processes=2, process_id=1,\n"
+        "                         initialization_timeout=5)\n"
+        "except Exception as e:\n"
+        "    print('RAISED', type(e).__name__)\n"
+        "    raise SystemExit(42)\n"
+        "print('DEGRADED-SILENTLY')\n"
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+         env.get("PYTHONPATH", "")])
+    env.pop("JAX_PLATFORMS", None)
+    p = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=180, env=env)
+    # Two acceptable loud failures: jax raises a Python error (rc=42, our
+    # re-raise path) or the distributed client FATALLY aborts on the
+    # coordinator deadline (rc!=0 with the coordination error on stderr —
+    # what this jax build does). Silent single-process degradation
+    # (rc=0 / DEGRADED-SILENTLY) is the bug.
+    assert p.returncode != 0, (
+        f"initialize() silently degraded to single-process:\n{p.stdout}")
+    assert "DEGRADED-SILENTLY" not in p.stdout
+    assert ("RAISED" in p.stdout or "DEADLINE_EXCEEDED" in p.stderr
+            or "Coordination" in p.stderr or "connect" in p.stderr.lower()), (
+        f"no coordinator failure surfaced:\n{p.stdout}\n{p.stderr}")
 
 
 def test_two_process_engine():

@@ -9,6 +9,34 @@ pytestmark = pytest.mark.skipif(not native.available(),
                                 reason="native library not built")
 
 
+def test_load_race_all_threads_agree():
+    """Round-3 verdict weak #2 regression: the lock-free fast path in
+    native._load must never observe _TRIED=True with _LIB unset
+    mid-LoadLibrary. Reset the module state and hammer available() from 8
+    threads; every thread must see the SAME verdict (mixed verdicts made
+    the parallel GGJT loader fuse q4/q4p weight kinds and crash)."""
+    import threading
+
+    for trial in range(20):
+        native._LIB = None
+        native._TRIED = False
+        barrier = threading.Barrier(8)
+        results = [None] * 8
+
+        def probe(i):
+            barrier.wait()
+            results[i] = native.available()
+
+        ts = [threading.Thread(target=probe, args=(i,)) for i in range(8)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert all(r == results[0] for r in results), (
+            f"trial {trial}: mixed native-availability verdicts {results}")
+        assert results[0] is True  # library IS built (see pytestmark)
+
+
 def test_native_quantize_bit_exact():
     rng = np.random.default_rng(0)
     x = rng.standard_normal((64, 256)).astype(np.float32) * 2.5
