@@ -119,6 +119,38 @@ def main() -> int:
         f"{tps:.1f} tokens/s ({dt / iters * 1e3:.2f} ms/token); "
         f"slope rate {dev_tps:.1f} tok/s ({dev_ms:.2f} ms/step)")
 
+    # -- TTFT: 512-token prefill + first decode step (wall, best-of-N) ------
+    # BASELINE.json's metric names p50 TTFT explicitly; capture it in the
+    # same run (round-3 verdict #5).
+    import dataclasses
+    pre_cfg = dataclasses.replace(cfg, flash_prefill=True)
+
+    def prefill_step(params, tokens, kv):
+        logits, kv, _ = forward(params, tokens, jnp.int32(0), kv, pre_cfg)
+        nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)[:, None]
+        return nxt, kv
+
+    prefill = jax.jit(prefill_step, donate_argnums=(2,))
+    prompt = jnp.asarray(
+        np.random.default_rng(0).integers(0, hp.n_vocab, (1, 512)), jnp.int32)
+    kv2 = init_kv_cache(hp, 1, n_ctx, dtype=jnp.bfloat16)
+    t0 = time.time()
+    first, kv2 = prefill(params, prompt, kv2)
+    sync(first)
+    log(f"prefill compiled+run in {time.time() - t0:.1f}s")
+    ttfts = []
+    for _ in range(5):
+        kv2 = init_kv_cache(hp, 1, n_ctx, dtype=jnp.bfloat16)
+        jax.block_until_ready(kv2)
+        t0 = time.time()
+        first, kv2 = prefill(params, prompt, kv2)
+        tok2, _, kv2 = step(params, first, jnp.int32(512), kv2)
+        sync(tok2)
+        ttfts.append((time.time() - t0 - floor) * 1e3)
+    ttft_p50 = float(np.median(ttfts))
+    log(f"TTFT(512) trials: {[f'{t:.1f}' for t in ttfts]} ms -> p50 "
+        f"{ttft_p50:.1f} ms")
+
     baseline = 10.0
     baseline_src = "estimate"
     ref_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -143,6 +175,7 @@ def main() -> int:
         "value": round(tps, 2),
         "unit": "tokens/s",
         "steady_state_tokens_per_sec": round(dev_tps, 2),
+        "ttft_ms_p50": round(ttft_p50, 1),
     }
     if baseline is not None:
         out["vs_baseline"] = round(tps / baseline, 2)

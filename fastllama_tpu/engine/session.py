@@ -270,11 +270,20 @@ class FastLlama:
         nll = 0.0
         count = 0
         res = None
+        import time as _time
         for bi, i in enumerate(range(0, token_len, block_size)):
             block = min(block_size, token_len - i)
             if block < 2:
                 break
+            t0 = _time.time()
             logits = self.model.eval(0, tokens[i:i + block], all_logits=True)
+            if bi == 0:
+                # first-pass ETA, like the reference (bridge.cpp:366-380)
+                secs = _time.time() - t0
+                self.logger.log(
+                    "perplexity",
+                    f"{secs:.2f} seconds per pass - ETA "
+                    f"{secs * blocks / 3600.0:.2f} hours\n")
             # eval refreshes the logits view (reference: every llama_eval
             # fills the buffer bridge.cpp:152-155 exposes) — all positions
             # when the session was built for all-logits, else the last row

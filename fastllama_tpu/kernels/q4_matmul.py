@@ -316,6 +316,34 @@ def _q4mm_kernel_v4(x_lo_ref, x_hi_ref, bs_ref, qs_ref, sc_ref, out_ref, *,
     out_ref[:] += acc + _corr_dot(bs_ref[:], sc_f)
 
 
+def _q4mm_kernel_v5(x_lo_ref, x_hi_ref, bs_ref, qs_ref, sc_ref, out_ref, *,
+                    w_dtype):
+    """v1 with the 16x sublane repeat done by pltpu.repeat (the Mosaic
+    hardware-repeat primitive) instead of broadcast_to+reshape — the one
+    repeat lowering not yet measured (round-2 tried jnp.repeat and the
+    3D-broadcast view)."""
+    k_idx = pl.program_id(1)
+
+    @pl.when(k_idx == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    qs = qs_ref[:].astype(jnp.int32)
+    sc_f = sc_ref[:].astype(jnp.float32)
+    nb, bn = sc_f.shape
+    # tile-repeat along a singleton axis == element-wise sublane repeat
+    sc = pltpu.repeat(sc_f[:, None, :], HALF, 1).reshape(nb * HALF, bn)
+    w_lo = ((qs & 0x0F).astype(jnp.float32) * sc).astype(w_dtype)
+    w_hi = ((qs >> 4).astype(jnp.float32) * sc).astype(w_dtype)
+
+    prec = _dot_precision(w_dtype)
+    acc = jnp.dot(x_lo_ref[:].astype(w_dtype), w_lo,
+                  preferred_element_type=jnp.float32, precision=prec)
+    acc += jnp.dot(x_hi_ref[:].astype(w_dtype), w_hi,
+                   preferred_element_type=jnp.float32, precision=prec)
+    out_ref[:] += acc + _corr_dot(bs_ref[:], sc_f)
+
+
 def _q41mm_kernel(x_lo_ref, x_hi_ref, bs_ref, qs_ref, sc_ref, mn_ref,
                   out_ref, *, w_dtype):
     """Affine (q4_1/GPTQ) variant with the same fold as _q4mm_kernel_v1:
@@ -445,10 +473,103 @@ def q4_matmul_pallas(x: jax.Array, qs: jax.Array, scales: jax.Array,
     bs_spec = pl.BlockSpec((bk // QBLOCK, m), lambda i, kk: (kk, 0),
                            memory_space=pltpu.VMEM)
     body = {"v1": _q4mm_kernel_v1, "v2": _q4mm_kernel_v2,
-            "v3": _q4mm_kernel_v3, "v4": _q4mm_kernel_v4}[variant]
+            "v3": _q4mm_kernel_v3, "v4": _q4mm_kernel_v4,
+            "v5": _q4mm_kernel_v5}[variant]
     kernel = functools.partial(body, w_dtype=w_dtype)
     return pl.pallas_call(
         kernel, in_specs=[x_spec, x_spec, bs_spec, qs_spec, sc_spec], **common,
+    )(x_lo, x_hi, bsum, qs, scales)
+
+
+def _q4mm_prefill_kernel(x_lo_ref, x_hi_ref, bs_ref, qs_ref, sc_ref, out_ref,
+                         *, w_dtype, bkh: int):
+    """Large-M (prefill) body: x is VMEM-RESIDENT (constant index_map — the
+    x_lo/x_hi blocks are the FULL [M, K/2] arrays, loaded once for the whole
+    kernel) and sliced in-kernel by the k program id. Same offset-folded
+    math as _q4mm_kernel_v1.
+
+    Why a separate body (measured, round 3): at M=512 the k-blocked x specs
+    re-fetch 2*[M, bk/2] bf16 tiles per grid cell (the full prefill ran
+    170.8 ms vs XLA's 130), and whole-K single-step tiles crash the remote
+    Mosaic compiler in full programs. Resident-x keeps the per-cell DMA to
+    the weight planes only (the decode kernel's traffic pattern) while the
+    MXU amortizes the dequant over all M rows.
+    """
+    k_idx = pl.program_id(1)
+
+    @pl.when(k_idx == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    qs = qs_ref[:].astype(jnp.int32)
+    sc_f = sc_ref[:].astype(jnp.float32)
+    sc = _repeat_scales(sc_f)
+    w_lo = ((qs & 0x0F).astype(jnp.float32) * sc).astype(w_dtype)
+    w_hi = ((qs >> 4).astype(jnp.float32) * sc).astype(w_dtype)
+
+    off = k_idx * bkh
+    x_lo = x_lo_ref[:, pl.ds(off, bkh)].astype(w_dtype)
+    x_hi = x_hi_ref[:, pl.ds(off, bkh)].astype(w_dtype)
+    prec = _dot_precision(w_dtype)
+    acc = jnp.dot(x_lo, w_lo, preferred_element_type=jnp.float32,
+                  precision=prec)
+    acc += jnp.dot(x_hi, w_hi, preferred_element_type=jnp.float32,
+                   precision=prec)
+    out_ref[:] += acc + _corr_dot(bs_ref[:], sc_f)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "block_k",
+                                              "interpret", "w_dtype"))
+def q4_matmul_prefill_pallas(x: jax.Array, qs: jax.Array, scales: jax.Array,
+                             *, block_n: int = 0, block_k: int = 0,
+                             interpret: bool = False,
+                             w_dtype=jnp.bfloat16) -> jax.Array:
+    """Large-M fused dequant-matmul: y[M, N] = x[M, K] @ dequant(W); f32.
+
+    Replaces the XLA dequant-then-dot prefill path (which materializes the
+    full bf16 dense matrix through HBM — ~37% MXU at 7B/512). x stays
+    resident in VMEM; weights stream k-blocked; grid (N/bn, K/bk) with the
+    reduction innermost so the out tile stays resident across k steps.
+    """
+    m, k = x.shape
+    kh, n = qs.shape
+    assert kh * 2 == k, (x.shape, qs.shape)
+    bn = block_n or _pick_tile(n, cap=_prefill_bn(m, k))
+    bk = block_k or _pick_tile_k(k, cap=2048)
+    bkh = bk // 2
+    grid = (n // bn, k // bk)
+
+    x_lo, x_hi = split_activation(x)
+    bsum = x.astype(jnp.float32).reshape(m, k // QBLOCK, QBLOCK).sum(-1).T
+
+    # x_lo/x_hi blocks are the FULL arrays with a constant index_map: Mosaic
+    # fetches them once and keeps them resident across every grid cell.
+    x_spec = pl.BlockSpec((m, kh), lambda i, kk: (0, 0),
+                          memory_space=pltpu.VMEM)
+    bs_spec = pl.BlockSpec((bk // QBLOCK, m), lambda i, kk: (kk, 0),
+                           memory_space=pltpu.VMEM)
+    qs_spec = pl.BlockSpec((bkh, bn), lambda i, kk: (kk, i),
+                           memory_space=pltpu.VMEM)
+    sc_spec = pl.BlockSpec((bk // QBLOCK, bn), lambda i, kk: (kk, i),
+                           memory_space=pltpu.VMEM)
+    cost = pl.CostEstimate(
+        flops=2 * m * n * k,
+        bytes_accessed=kh * n + (k // QBLOCK) * n * 4 + m * k * 2 + m * n * 4,
+        transcendentals=0,
+    )
+    kernel = functools.partial(_q4mm_prefill_kernel, w_dtype=w_dtype, bkh=bkh)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[x_spec, x_spec, bs_spec, qs_spec, sc_spec],
+        out_specs=pl.BlockSpec((m, bn), lambda i, kk: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=cost,
+        interpret=interpret,
     )(x_lo, x_hi, bsum, qs, scales)
 
 
@@ -520,6 +641,35 @@ def pallas_shapes_supported(k: int, n: int, m: int = 8) -> bool:
     return ok_x and ok_qs_lane and ok_qs_sub and ok_sc_sub
 
 
+# Prefill dispatch bounds: the resident-x kernel needs M*K bf16 bytes of
+# VMEM headroom (budget 16 MB; temps/out take the rest) and M large enough
+# that the MXU amortizes the in-kernel dequant.
+_PREFILL_MIN_M = 256
+_PREFILL_X_BYTES_MAX = 10 * 1024 * 1024
+
+
+def _prefill_kernel_enabled() -> bool:
+    """FASTLLAMA_PREFILL_KERNEL=0 pins prefill to the XLA path (escape
+    hatch while the resident-x kernel's remote-compiler behavior is
+    validated per shape; round-3's whole-K variant crashed it)."""
+    import os
+    return os.environ.get("FASTLLAMA_PREFILL_KERNEL", "1") != "0"
+
+
+def _prefill_bn(m: int, k: int) -> int:
+    """N tile for the prefill kernel: 512 normally; 256 when the resident
+    x already eats most of the VMEM budget (w2-size K after the k-split)."""
+    return 256 if m * k * 2 > 6 * 1024 * 1024 else 512
+
+
+def prefill_shapes_supported(k: int, n: int, m: int) -> bool:
+    if m % 8 or m * k * 2 > _PREFILL_X_BYTES_MAX:
+        return False
+    bn = _pick_tile(n, cap=_prefill_bn(m, k))
+    bk = _pick_tile_k(k, cap=2048)
+    return (bn % 128 == 0 or bn == n) and bk % 256 == 0 and k % bk == 0
+
+
 def q4_matmul(x: jax.Array, w: QuantMatmulWeight, *,
               use_pallas: bool | None = None,
               w_dtype=jnp.bfloat16,
@@ -547,9 +697,36 @@ def q4_matmul(x: jax.Array, w: QuantMatmulWeight, *,
     if k_stored != k:
         x2 = jnp.pad(x2, ((0, 0), (0, k_stored - k)))
 
+    # Large-M (prefill) path: resident-x fused kernel. Only q4_0 (mins-free)
+    # weights; q4_1/GPTQ prefill stays on the XLA path.
+    prefill = (m >= _PREFILL_MIN_M and w.mins is None
+               and _prefill_kernel_enabled()
+               and (use_pallas or (use_pallas is None
+                                   and jax.default_backend() == "tpu")))
+    if prefill:
+        n_stored = w.qs.shape[1]
+        k0 = _k_split_point(k_stored)
+        parts = ((0, k_stored),) if k0 is None else ((0, k0), (k0, k_stored))
+        if all(prefill_shapes_supported(b - a, n_stored, m) for a, b in parts):
+            y = None
+            for a, b in parts:
+                yp = q4_matmul_prefill_pallas(
+                    x2[:, a:b], w.qs[a // 2: b // 2],
+                    w.scales[a // QBLOCK: b // QBLOCK],
+                    interpret=interpret, w_dtype=w_dtype)
+                y = yp if y is None else y + yp
+            if y.shape[-1] != n_eff:
+                y = y[:, :n_eff]
+            return y.reshape(*lead, n_eff)
+
     if use_pallas is None:
         use_pallas = (jax.default_backend() == "tpu") and m <= _PALLAS_MAX_M
     if use_pallas and not pallas_shapes_supported(k_stored, w.qs.shape[1], m):
+        use_pallas = False
+    if use_pallas and m > _PALLAS_MAX_M:
+        # explicit use_pallas=True at prefill M lands here only when the
+        # prefill kernel's shape guard rejected; decode tiles at large M
+        # measured slower than XLA (see _PALLAS_MAX_M note)
         use_pallas = False
     if use_pallas:
         # Pad M up to the f32 sublane tile so tiny decode batches map cleanly.

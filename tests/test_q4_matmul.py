@@ -69,6 +69,28 @@ def test_pallas_interpret_multi_k_tiles():
     np.testing.assert_allclose(np.asarray(y_p), y_ref, rtol=1e-5, atol=1e-4)
 
 
+def test_prefill_kernel_interpret_matches_oracle():
+    """Large-M resident-x kernel (f32 weights path = exact vs oracle)."""
+    from fastllama_tpu.kernels.q4_matmul import q4_matmul_prefill_pallas
+    x, w, y_ref = _setup(256, 512, 256)
+    y = q4_matmul_prefill_pallas(x, w.qs, w.scales, interpret=True,
+                                 w_dtype=jnp.float32, block_n=128,
+                                 block_k=256)
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-5, atol=1e-4)
+
+
+def test_prefill_dispatch_k_split():
+    """Dispatch at prefill M through a K that needs the host-side k-split
+    (K=768 with block_k forcing two parts exercises the same path shape
+    as 7B's w2 11008-K); compared against the XLA path."""
+    from fastllama_tpu.kernels import q4_matmul as qm
+    x, w, y_ref = _setup(256, 768, 256)
+    y = q4_matmul(x, w, use_pallas=True, interpret=True,
+                  w_dtype=jnp.float32)
+    assert y.shape == (256, 256)
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-5, atol=1e-4)
+
+
 def test_dispatch_padding_and_lead_dims():
     x, w, y_ref = _setup(3, 64, 32)
     x3 = x.reshape(1, 3, 64)

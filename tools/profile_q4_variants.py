@@ -38,12 +38,19 @@ def main():
 
     from bench_q4_floor import _run
 
+    from fastllama_tpu.kernels.q4_matmul import q4_matmul_prefill_pallas
+    sc_bf16 = scales.astype(jnp.bfloat16)
+
     for v in variants:
         @jax.jit
         def chain(x, _v=v):
             for _ in range(REPS):
                 if _v in ("floor", "nosc"):
                     y = _run(x, qs, scales, _v)
+                elif _v == "pf":
+                    y = q4_matmul_prefill_pallas(x, qs, scales)
+                elif _v.endswith("h"):               # bf16-stored scales
+                    y = q4_matmul_pallas(x, qs, sc_bf16, variant=_v[:-1])
                 else:
                     y = q4_matmul_pallas(x, qs, scales, variant=_v)
                 x = (x + y[:, :1]).astype(x.dtype)   # serialize, defeat CSE
@@ -55,9 +62,12 @@ def main():
             r = chain(x0)
             _ = float(np.asarray(r)[0, 0])
         total, agg, cnt = load_device_op_breakdown(out)
-        kern_us = agg.get("q4_matmul_pallas", 0.0) / max(
-            cnt.get("q4_matmul_pallas", REPS), 1)
-        n_calls = cnt.get("q4_matmul_pallas", 0)
+        # the pallas op name differs per entry point; take the dominant
+        # fusion containing "pallas"/"q4" in this trace
+        keys = [kk for kk in agg if "q4" in kk or "pallas" in kk.lower()]
+        key = max(keys, key=lambda kk: agg[kk]) if keys else None
+        kern_us = (agg[key] / max(cnt.get(key, REPS), 1)) if key else 0.0
+        n_calls = cnt.get(key, 0)
         print(f"{v:4s}: {kern_us:8.1f} us/call (x{n_calls})  "
               f"{byt / (kern_us * 1e-6) / 1e9:7.1f} GB/s  "
               f"(ideal@819: {byt / 819e9 * 1e6:.1f} us)")
