@@ -40,7 +40,21 @@ HALF = QBLOCK // 2  # 16
 # choices: with a 100 MB limit the same kernels provoked ~1.9 us/slice
 # relayout DMAs around every call (+470 us/step at 7B) even at the default
 # tiling. Keep the default budget.
-_VMEM_LIMIT = None
+#
+# FASTLLAMA_WHOLEK=1 re-opens the experiment: round 2 measured the relayout
+# BEFORE round 3 found that the in-engine slice/copy staging around pallas
+# calls is MSA's VMEM prefetch pass (suppressed for decode jits via
+# utils/xla_opts.py) — whole-K single-step tiles were ~8% faster kernel-only
+# ((4096, 22528): 90.8 vs 98.3 us) and may now hold in-engine.
+import os as _os
+_WHOLEK = _os.environ.get("FASTLLAMA_WHOLEK", "0") != "0"
+# "1": whole-K decode tiles + 100 MB scoped-VMEM limit (measured: kernels
+# -217 us/step but +478 us of slice staging around them — net worse).
+# "2": whole-K at a MINIMAL raise (the (4096, 1024) tile set misses the
+# default budget by only 988K: "Scoped allocation with size 16.96M").
+_VMEM_LIMIT = {None: None, "1": 100 * 1024 * 1024,
+               "2": 20 * 1024 * 1024}.get(
+    _os.environ.get("FASTLLAMA_WHOLEK") if _WHOLEK else None)
 
 
 def _dot_precision(w_dtype):
@@ -573,6 +587,104 @@ def q4_matmul_prefill_pallas(x: jax.Array, qs: jax.Array, scales: jax.Array,
     )(x_lo, x_hi, bsum, qs, scales)
 
 
+def _q4mm_prefill_int8_kernel(x_lo_ref, x_hi_ref, qs_ref, sc_ref, out_ref, *,
+                              bkh: int):
+    """Int8-MXU prefill body: the TPU re-design of the reference's
+    activation-quantized matmul (q8_0 activations x q4 weights,
+    /root/reference/lib/ggml.c:8105-8119 + the SIMD dot kernels at
+    2368-3040). ggml keeps the exact per-32-block scales and rides CPU SIMD
+    int8 dot instructions at 32-element granularity; the MXU instead wants
+    ONE deep reduction, so the scales are factored per-AXIS: activations
+    carry a per-row scale dx[m] (dynamic symmetric int8), weights a
+    per-column scale S8[n] (folded into the scale plane on the host of the
+    kernel: sc_ref holds s[b,n]/S8[n]). The kernel requantizes codes to
+    int8 in VMEM — round((q-8) * s/S8) in [-127, 127] by construction —
+    and accumulates in int32 at the MXU's 2x int8 rate. The caller applies
+    y = acc * dx[m] * S8[n].
+
+    vs the exact bf16 path: adds bounded requant error (weights <= S8/2
+    absolute ~ 0.4% of the column amax; activations ~ 0.4% of the row
+    amax) — dispatched only under FASTLLAMA_PREFILL_INT8 until measured
+    end-to-end."""
+    k_idx = pl.program_id(1)
+
+    @pl.when(k_idx == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    qs = qs_ref[:].astype(jnp.int32)
+    sc = _repeat_scales(sc_ref[:].astype(jnp.float32))
+    w_lo = jnp.round(((qs & 0x0F) - 8).astype(jnp.float32) * sc
+                     ).astype(jnp.int8)
+    w_hi = jnp.round(((qs >> 4) - 8).astype(jnp.float32) * sc
+                     ).astype(jnp.int8)
+
+    off = k_idx * bkh
+    x_lo = x_lo_ref[:, pl.ds(off, bkh)]
+    x_hi = x_hi_ref[:, pl.ds(off, bkh)]
+    acc = jnp.dot(x_lo, w_lo, preferred_element_type=jnp.int32)
+    acc += jnp.dot(x_hi, w_hi, preferred_element_type=jnp.int32)
+    out_ref[:] += acc
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "block_k",
+                                              "interpret"))
+def q4_matmul_prefill_int8(x: jax.Array, qs: jax.Array, scales: jax.Array,
+                           *, block_n: int = 0, block_k: int = 0,
+                           interpret: bool = False) -> jax.Array:
+    """Activation-quantized large-M matmul: y ~= x @ dequant(W); f32 out.
+
+    Same resident-x grid as q4_matmul_prefill_pallas; the MXU runs int8.
+    """
+    m, k = x.shape
+    kh, n = qs.shape
+    assert kh * 2 == k, (x.shape, qs.shape)
+    bn = block_n or _pick_tile(n, cap=_prefill_bn(m, k))
+    bk = block_k or _pick_tile_k(k, cap=2048)
+    bkh = bk // 2
+    grid = (n // bn, k // bk)
+
+    # per-column weight scale bound: |w| = |q-8|*s <= 8*max_b s  (tight when
+    # the block holding the column amax has |q-8| = 8, which q4_0's
+    # round-to-nearest from amax guarantees within one code)
+    s8 = jnp.maximum(jnp.max(jnp.abs(scales), axis=0) * (8.0 / 127.0), 1e-20)
+    sc_norm = scales / s8[None, :]
+    # dynamic symmetric per-row activation quant (the q8_0 analog; per-row
+    # instead of per-32-block so the scale factors out of the K reduction)
+    dx = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1),
+                     1e-20) / 127.0
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / dx[:, None]),
+                  -127, 127).astype(jnp.int8)
+    xq_lo, xq_hi = split_activation(xq)
+
+    x_spec = pl.BlockSpec((m, kh), lambda i, kk: (0, 0),
+                          memory_space=pltpu.VMEM)
+    qs_spec = pl.BlockSpec((bkh, bn), lambda i, kk: (kk, i),
+                           memory_space=pltpu.VMEM)
+    sc_spec = pl.BlockSpec((bk // QBLOCK, bn), lambda i, kk: (kk, i),
+                           memory_space=pltpu.VMEM)
+    cost = pl.CostEstimate(
+        flops=2 * m * n * k,
+        bytes_accessed=kh * n + (k // QBLOCK) * n * 4 + m * k + m * n * 4,
+        transcendentals=0,
+    )
+    kernel = functools.partial(_q4mm_prefill_int8_kernel, bkh=bkh)
+    acc = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[x_spec, x_spec, qs_spec, sc_spec],
+        out_specs=pl.BlockSpec((m, bn), lambda i, kk: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(xq_lo, xq_hi, qs, sc_norm)
+    return acc.astype(jnp.float32) * dx[:, None] * s8[None, :]
+
+
 def q4_matmul_xla(x: jax.Array, w: QuantMatmulWeight,
                   w_dtype=jnp.bfloat16) -> jax.Array:
     """Dequant-then-dot; XLA fuses the dequant chain into the matmul.
@@ -621,8 +733,9 @@ def _bn_cap(m: int) -> int:
 def _bk_cap(m: int) -> int:
     """Large-M calls take the whole K when it divides (k<=4096): the out
     tile is then written once instead of read-modify-written per k-step —
-    (512, 4096->12288) measured 326 us vs 416 at bk=2048 (MXU ideal 262)."""
-    return 2816 if m <= 64 else 4096
+    (512, 4096->12288) measured 326 us vs 416 at bk=2048 (MXU ideal 262).
+    Decode M gets whole-K only under the FASTLLAMA_WHOLEK experiment."""
+    return (4096 if _WHOLEK else 2816) if m <= 64 else 4096
 
 
 def pallas_shapes_supported(k: int, n: int, m: int = 8) -> bool:
@@ -656,18 +769,54 @@ def _prefill_kernel_enabled() -> bool:
     return os.environ.get("FASTLLAMA_PREFILL_KERNEL", "1") != "0"
 
 
-def _prefill_bn(m: int, k: int) -> int:
+def _prefill_int8_enabled() -> bool:
+    """FASTLLAMA_PREFILL_INT8=1 routes large-M q4_0 matmuls through the
+    activation-quantized int8 MXU kernel (2x MXU rate, ~0.4% bounded
+    requant noise on weights/activations). Off by default: the bf16 path
+    is bit-faithful to dequantization."""
+    import os
+    return os.environ.get("FASTLLAMA_PREFILL_INT8", "0") == "1"
+
+
+def _prefill_bn(m: int, k: int, itemsize: int = 2) -> int:
     """N tile for the prefill kernel: 512 normally; 256 when the resident
     x already eats most of the VMEM budget (w2-size K after the k-split)."""
-    return 256 if m * k * 2 > 6 * 1024 * 1024 else 512
+    return 256 if m * k * itemsize > 6 * 1024 * 1024 else 512
 
 
-def prefill_shapes_supported(k: int, n: int, m: int) -> bool:
-    if m % 8 or m * k * 2 > _PREFILL_X_BYTES_MAX:
+def prefill_shapes_supported(k: int, n: int, m: int,
+                             itemsize: int = 2) -> bool:
+    if m % 8 or m * k * itemsize > _PREFILL_X_BYTES_MAX:
         return False
-    bn = _pick_tile(n, cap=_prefill_bn(m, k))
+    bn = _pick_tile(n, cap=_prefill_bn(m, k, itemsize))
     bk = _pick_tile_k(k, cap=2048)
     return (bn % 128 == 0 or bn == n) and bk % 256 == 0 and k % bk == 0
+
+
+def _prefill_k_parts(k_stored: int, m: int,
+                     itemsize: int) -> tuple[tuple[int, int], ...] | None:
+    """K ranges for the resident-x prefill kernel such that each part's
+    x slice fits the VMEM byte budget (round-4: 7B's w2 K=11264 at M=512
+    bf16 is 11.5 MB > 10 — it fell back to the XLA dequant path, ~14 ms of
+    the 47 ms int8-prefill step). Boundaries stay multiples of 2048 so each
+    part keeps large bk tiles; None when even a 2048-deep slice is over
+    budget (caller falls back to XLA)."""
+    budget_k = _PREFILL_X_BYTES_MAX // max(m * itemsize, 1)
+    if k_stored * 1 <= 0 or budget_k < 2048:
+        return None
+    if k_stored % 256:
+        return None
+    parts = []
+    a = 0
+    while a < k_stored:
+        rem = k_stored - a
+        if rem * m * itemsize <= _PREFILL_X_BYTES_MAX:
+            step = rem
+        else:
+            step = (budget_k // 2048) * 2048
+        parts.append((a, a + step))
+        a += step
+    return tuple(parts)
 
 
 def q4_matmul(x: jax.Array, w: QuantMatmulWeight, *,
@@ -705,15 +854,25 @@ def q4_matmul(x: jax.Array, w: QuantMatmulWeight, *,
                                    and jax.default_backend() == "tpu")))
     if prefill:
         n_stored = w.qs.shape[1]
-        k0 = _k_split_point(k_stored)
-        parts = ((0, k_stored),) if k0 is None else ((0, k0), (k0, k_stored))
-        if all(prefill_shapes_supported(b - a, n_stored, m) for a, b in parts):
+        use_int8 = _prefill_int8_enabled()
+        itemsize = 1 if use_int8 else jnp.dtype(w_dtype).itemsize
+        parts = _prefill_k_parts(k_stored, m, itemsize)
+        if parts is not None and all(
+                prefill_shapes_supported(b - a, n_stored, m, itemsize)
+                for a, b in parts):
+            fn = (q4_matmul_prefill_int8 if use_int8
+                  else functools.partial(q4_matmul_prefill_pallas,
+                                         w_dtype=w_dtype))
+            # cast to the MXU dtype BEFORE the split: the kernel casts
+            # in-VMEM anyway, and f32 operands would double both the
+            # resident-x VMEM footprint (the byte budget assumes itemsize)
+            # and the split's materialization copies
+            xp = x2 if use_int8 else x2.astype(w_dtype)
             y = None
             for a, b in parts:
-                yp = q4_matmul_prefill_pallas(
-                    x2[:, a:b], w.qs[a // 2: b // 2],
-                    w.scales[a // QBLOCK: b // QBLOCK],
-                    interpret=interpret, w_dtype=w_dtype)
+                yp = fn(xp[:, a:b], w.qs[a // 2: b // 2],
+                        w.scales[a // QBLOCK: b // QBLOCK],
+                        interpret=interpret)
                 y = yp if y is None else y + yp
             if y.shape[-1] != n_eff:
                 y = y[:, :n_eff]

@@ -91,6 +91,56 @@ def test_prefill_dispatch_k_split():
     np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-5, atol=1e-4)
 
 
+def test_prefill_int8_kernel_close_to_oracle():
+    """Activation-quantized int8 prefill kernel: bounded requant noise.
+
+    Error model: weights quantized per column at S8 = 8*max_b(s)/127
+    (<= S8/2 absolute per element), activations per row at amax/127. For
+    K=512 the accumulated rms error is well under 1% of the output scale;
+    assert a 3-sigma-ish envelope tied to the row/col maxima."""
+    from fastllama_tpu.kernels.q4_matmul import q4_matmul_prefill_int8
+    x, w, y_ref = _setup(256, 512, 256)
+    y = q4_matmul_prefill_int8(x, w.qs, w.scales, interpret=True,
+                               block_n=128, block_k=256)
+    y = np.asarray(y)
+    assert y.shape == y_ref.shape
+    scale = (np.abs(np.asarray(x)).max(axis=1, keepdims=True)
+             * np.abs(y_ref).max(axis=0, keepdims=True).clip(min=1e-3))
+    err = np.abs(y - y_ref)
+    assert np.all(err <= 0.02 * scale + 0.05), float(
+        (err / (0.02 * scale + 0.05)).max())
+    # sanity: the int8 path is actually close in relative terms too
+    rel = np.abs(y - y_ref) / (np.abs(y_ref) + 1.0)
+    assert float(np.median(rel)) < 1e-2
+
+
+def test_prefill_int8_dispatch(monkeypatch):
+    """FASTLLAMA_PREFILL_INT8=1 routes the large-M dispatch through the
+    int8 kernel (interpret mode on CPU)."""
+    monkeypatch.setenv("FASTLLAMA_PREFILL_INT8", "1")
+    x, w, y_ref = _setup(256, 512, 256)
+    y = q4_matmul(x, w, use_pallas=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=0.2, atol=0.5)
+    # median relative error must be int8-small, not bf16-large
+    rel = np.abs(np.asarray(y) - y_ref) / (np.abs(y_ref) + 1.0)
+    assert float(np.median(rel)) < 1e-2
+
+
+def test_prefill_k_parts_budget_split(monkeypatch):
+    """K over the resident-x byte budget splits at 2048 boundaries and
+    still matches the oracle (the 7B w2 K=11264 case, scaled down via a
+    monkeypatched budget)."""
+    from fastllama_tpu.kernels import q4_matmul as qm
+    monkeypatch.setattr(qm, "_PREFILL_X_BYTES_MAX", 256 * 4096 * 2)
+    parts = qm._prefill_k_parts(6144, 256, 2)
+    assert parts == ((0, 4096), (4096, 6144))
+    x, w, y_ref = _setup(256, 6144, 256)
+    assert w.k == 6144
+    y = q4_matmul(x, w, use_pallas=True, interpret=True,
+                  w_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-5, atol=2e-4)
+
+
 def test_dispatch_padding_and_lead_dims():
     x, w, y_ref = _setup(3, 64, 32)
     x3 = x.reshape(1, 3, 64)

@@ -38,7 +38,8 @@ def main():
 
     from bench_q4_floor import _run
 
-    from fastllama_tpu.kernels.q4_matmul import q4_matmul_prefill_pallas
+    from fastllama_tpu.kernels.q4_matmul import (
+        q4_matmul_prefill_pallas, q4_matmul_prefill_int8)
     sc_bf16 = scales.astype(jnp.bfloat16)
 
     for v in variants:
@@ -49,6 +50,12 @@ def main():
                     y = _run(x, qs, scales, _v)
                 elif _v == "pf":
                     y = q4_matmul_prefill_pallas(x, qs, scales)
+                elif _v == "pfi8":
+                    y = q4_matmul_prefill_int8(x, qs, scales)
+                elif _v == "xla":
+                    from fastllama_tpu.quant.tensor import QuantMatmulWeight
+                    from fastllama_tpu.kernels.q4_matmul import q4_matmul_xla
+                    y = q4_matmul_xla(x, QuantMatmulWeight(qs, scales))
                 elif _v.endswith("h"):               # bf16-stored scales
                     y = q4_matmul_pallas(x, qs, sc_bf16, variant=_v[:-1])
                 else:
@@ -68,6 +75,10 @@ def main():
         key = max(keys, key=lambda kk: agg[kk]) if keys else None
         kern_us = (agg[key] / max(cnt.get(key, REPS), 1)) if key else 0.0
         n_calls = cnt.get(key, 0)
+        if not kern_us:
+            top = sorted(agg.items(), key=lambda kv: -kv[1])[:3]
+            print(f"{v:4s}: no q4/pallas op found; top ops: {top}")
+            continue
         print(f"{v:4s}: {kern_us:8.1f} us/call (x{n_calls})  "
               f"{byt / (kern_us * 1e-6) / 1e9:7.1f} GB/s  "
               f"(ideal@819: {byt / 819e9 * 1e6:.1f} us)")
