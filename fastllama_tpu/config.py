@@ -87,6 +87,11 @@ class RuntimeConfig:
     seq_parallel: bool = False
     prefill_buckets: tuple[int, ...] = (16, 64, 128, 256, 512, 1024, 2048)
     use_pallas: bool | None = None    # None = auto
+    # Activation-quantized int8 prefill matmuls (~2x MXU rate, ~0.5%
+    # bounded requant noise; kernels/q4_matmul.q4_matmul_prefill_int8 —
+    # the TPU re-design of the reference's q8_0-activation compute path,
+    # lib/ggml.c:8105-8119). Default off: bf16 dequant is bit-faithful.
+    prefill_int8: bool = False
     # Tracing (reference analog: ggml perf counters + graph_print): when
     # set, FastLlama.generate / BatchEngine.run wrap their hot regions in
     # jax.profiler traces under this directory (utils/trace.py).

@@ -174,7 +174,7 @@ class BatchEngine:
         self.cfg = ForwardConfig(
             n_head=hp.n_head, n_rot=hp.n_rot, w_dtype=rcfg.weight_dtype,
             use_pallas=rcfg.use_pallas, kv_update="scatter",
-            vocab_size=hp.n_vocab)
+            vocab_size=hp.n_vocab, prefill_int8=rcfg.prefill_int8)
 
         # device-side slot state
         self.d_tokens = jnp.zeros((n_slots, 1), jnp.int32)

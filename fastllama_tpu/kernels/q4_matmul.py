@@ -587,8 +587,8 @@ def q4_matmul_prefill_pallas(x: jax.Array, qs: jax.Array, scales: jax.Array,
     )(x_lo, x_hi, bsum, qs, scales)
 
 
-def _q4mm_prefill_int8_kernel(x_lo_ref, x_hi_ref, qs_ref, sc_ref, out_ref, *,
-                              bkh: int):
+def _q4mm_prefill_int8_kernel(x_lo_ref, x_hi_ref, dx_ref, s8_ref, qs_ref,
+                              sc_ref, out_ref, acc_scr, *, bkh: int, nk: int):
     """Int8-MXU prefill body: the TPU re-design of the reference's
     activation-quantized matmul (q8_0 activations x q4 weights,
     /root/reference/lib/ggml.c:8105-8119 + the SIMD dot kernels at
@@ -599,8 +599,11 @@ def _q4mm_prefill_int8_kernel(x_lo_ref, x_hi_ref, qs_ref, sc_ref, out_ref, *,
     per-column scale S8[n] (folded into the scale plane on the host of the
     kernel: sc_ref holds s[b,n]/S8[n]). The kernel requantizes codes to
     int8 in VMEM — round((q-8) * s/S8) in [-127, 127] by construction —
-    and accumulates in int32 at the MXU's 2x int8 rate. The caller applies
-    y = acc * dx[m] * S8[n].
+    and accumulates in int32 at the MXU's 2x int8 rate. The per-axis
+    rescale y = acc * dx[m] * S8[n] happens IN-KERNEL at the last k step
+    (an int32 [M, N] output rescaled by an XLA consumer measured ~5 ms/step
+    of pure i32-read/f32-write traffic at 7B/512); the int32 accumulator
+    lives in scratch so f32 rounding never touches partial sums.
 
     vs the exact bf16 path: adds bounded requant error (weights <= S8/2
     absolute ~ 0.4% of the column amax; activations ~ 0.4% of the row
@@ -610,7 +613,7 @@ def _q4mm_prefill_int8_kernel(x_lo_ref, x_hi_ref, qs_ref, sc_ref, out_ref, *,
 
     @pl.when(k_idx == 0)
     def _():
-        out_ref[:] = jnp.zeros_like(out_ref)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
 
     qs = qs_ref[:].astype(jnp.int32)
     sc = _repeat_scales(sc_ref[:].astype(jnp.float32))
@@ -624,7 +627,12 @@ def _q4mm_prefill_int8_kernel(x_lo_ref, x_hi_ref, qs_ref, sc_ref, out_ref, *,
     x_hi = x_hi_ref[:, pl.ds(off, bkh)]
     acc = jnp.dot(x_lo, w_lo, preferred_element_type=jnp.int32)
     acc += jnp.dot(x_hi, w_hi, preferred_element_type=jnp.int32)
-    out_ref[:] += acc
+    acc_scr[:] += acc
+
+    @pl.when(k_idx == nk - 1)
+    def _():
+        out_ref[:] = (acc_scr[:].astype(jnp.float32)
+                      * dx_ref[:] * s8_ref[:])
 
 
 @functools.partial(jax.jit, static_argnames=("block_n", "block_k",
@@ -650,15 +658,27 @@ def q4_matmul_prefill_int8(x: jax.Array, qs: jax.Array, scales: jax.Array,
     s8 = jnp.maximum(jnp.max(jnp.abs(scales), axis=0) * (8.0 / 127.0), 1e-20)
     sc_norm = scales / s8[None, :]
     # dynamic symmetric per-row activation quant (the q8_0 analog; per-row
-    # instead of per-32-block so the scale factors out of the K reduction)
-    dx = jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1),
-                     1e-20) / 127.0
-    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / dx[:, None]),
-                  -127, 127).astype(jnp.int8)
-    xq_lo, xq_hi = split_activation(xq)
+    # instead of per-32-block so the scale factors out of the K reduction).
+    # Split FIRST, then quantize each half: the strided split slices fuse
+    # into the quant chains, so the only materialized intermediates are the
+    # int8 halves themselves (quantize-then-split materialized an f32
+    # quotient plane + an int8 plane + two slice copies per call).
+    xf = x.astype(jnp.float32)
+    dx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-20) / 127.0
+    x_lo, x_hi = split_activation(xf)
+
+    def q8(half):
+        return jnp.clip(jnp.round(half / dx[:, None]), -127, 127
+                        ).astype(jnp.int8)
+
+    xq_lo, xq_hi = q8(x_lo), q8(x_hi)
 
     x_spec = pl.BlockSpec((m, kh), lambda i, kk: (0, 0),
                           memory_space=pltpu.VMEM)
+    dx_spec = pl.BlockSpec((m, 1), lambda i, kk: (0, 0),
+                           memory_space=pltpu.VMEM)
+    s8_spec = pl.BlockSpec((1, bn), lambda i, kk: (0, i),
+                           memory_space=pltpu.VMEM)
     qs_spec = pl.BlockSpec((bkh, bn), lambda i, kk: (kk, i),
                            memory_space=pltpu.VMEM)
     sc_spec = pl.BlockSpec((bk // QBLOCK, bn), lambda i, kk: (kk, i),
@@ -668,21 +688,22 @@ def q4_matmul_prefill_int8(x: jax.Array, qs: jax.Array, scales: jax.Array,
         bytes_accessed=kh * n + (k // QBLOCK) * n * 4 + m * k + m * n * 4,
         transcendentals=0,
     )
-    kernel = functools.partial(_q4mm_prefill_int8_kernel, bkh=bkh)
-    acc = pl.pallas_call(
+    kernel = functools.partial(_q4mm_prefill_int8_kernel, bkh=bkh,
+                               nk=k // bk)
+    return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[x_spec, x_spec, qs_spec, sc_spec],
+        in_specs=[x_spec, x_spec, dx_spec, s8_spec, qs_spec, sc_spec],
         out_specs=pl.BlockSpec((m, bn), lambda i, kk: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, n), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((m, bn), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=cost,
         interpret=interpret,
-    )(xq_lo, xq_hi, qs, sc_norm)
-    return acc.astype(jnp.float32) * dx[:, None] * s8[None, :]
+    )(xq_lo, xq_hi, dx[:, None], s8[None, :], qs, sc_norm)
 
 
 def q4_matmul_xla(x: jax.Array, w: QuantMatmulWeight,
@@ -822,6 +843,7 @@ def _prefill_k_parts(k_stored: int, m: int,
 def q4_matmul(x: jax.Array, w: QuantMatmulWeight, *,
               use_pallas: bool | None = None,
               w_dtype=jnp.bfloat16,
+              prefill_int8: bool | None = None,
               interpret: bool = False) -> jax.Array:
     """Dispatching entry point. x: [..., K_logical] -> [..., N_logical] f32.
 
@@ -854,7 +876,8 @@ def q4_matmul(x: jax.Array, w: QuantMatmulWeight, *,
                                    and jax.default_backend() == "tpu")))
     if prefill:
         n_stored = w.qs.shape[1]
-        use_int8 = _prefill_int8_enabled()
+        use_int8 = (_prefill_int8_enabled() if prefill_int8 is None
+                    else prefill_int8)
         itemsize = 1 if use_int8 else jnp.dtype(w_dtype).itemsize
         parts = _prefill_k_parts(k_stored, m, itemsize)
         if parts is not None and all(

@@ -172,6 +172,13 @@ class ForwardConfig:
     # K/V instead of attending into the (empty) cache. Set by the prefill
     # entry points; decode traces must leave it False.
     flash_prefill: bool = False
+    # Route large-M (prefill) q4_0 matmuls through the activation-quantized
+    # int8 MXU kernel (kernels/q4_matmul.q4_matmul_prefill_int8): ~2x the
+    # bf16 prefill matmul rate for ~0.5% bounded requant noise — the TPU
+    # realization of the reference's q8_0-activation compute path
+    # (lib/ggml.c:8105-8119). False = bit-faithful bf16 dequant (the
+    # FASTLLAMA_PREFILL_INT8 env var can still force it process-wide).
+    prefill_int8: bool = False
 
     @property
     def w_jdtype(self):
@@ -192,7 +199,8 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
 def apply_linear(x: jax.Array, w: Linear, cfg: ForwardConfig) -> jax.Array:
     """y = x @ W for quantized or dense weights; f32 result."""
     if isinstance(w, QuantMatmulWeight):
-        return q4_matmul(x, w, use_pallas=cfg.use_pallas, w_dtype=cfg.w_jdtype)
+        return q4_matmul(x, w, use_pallas=cfg.use_pallas, w_dtype=cfg.w_jdtype,
+                         prefill_int8=cfg.prefill_int8 or None)
     precision = (jax.lax.Precision.HIGHEST
                  if w.dtype == jnp.float32 else None)
     return jnp.dot(x.astype(w.dtype), w,

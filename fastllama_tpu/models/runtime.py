@@ -47,7 +47,8 @@ class LlamaModel:
         self._embeddings = jnp.zeros((1, hp.n_embd), jnp.float32)
 
         base = dict(n_head=hp.n_head, n_rot=hp.n_rot,
-                    w_dtype=rcfg.weight_dtype, use_pallas=rcfg.use_pallas)
+                    w_dtype=rcfg.weight_dtype, use_pallas=rcfg.use_pallas,
+                    prefill_int8=rcfg.prefill_int8)
         # one static config per (all_logits, flash_prefill) combination;
         # flash variants only ever run with n_past == 0 (eval dispatches)
         self._cfg = {

@@ -24,6 +24,9 @@ def main():
     ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("--layers", type=int, default=32)
     ap.add_argument("--out", default="/tmp/prof_prefill")
+    ap.add_argument("--msa-off", action="store_true",
+                    help="apply the decode MSA-suppression compiler options "
+                         "to the prefill jit (experiment)")
     args = ap.parse_args()
 
     import jax
@@ -45,8 +48,13 @@ def main():
     tokens = jnp.asarray(
         np.random.default_rng(0).integers(0, 32000, (1, args.seq)), jnp.int32)
 
+    copts = None
+    if args.msa_off:
+        from fastllama_tpu.utils.xla_opts import DECODE_VMEM_OPTS
+        copts = dict(DECODE_VMEM_OPTS)
     fwd = jax.jit(lambda p, t, kv: forward(
-        p, t, jnp.int32(0), kv, cfg, jnp.int32(args.seq - 1)))
+        p, t, jnp.int32(0), kv, cfg, jnp.int32(args.seq - 1)),
+        compiler_options=copts)
 
     def run():
         kv = init_kv_cache(hp, 1, args.n_ctx, dtype=jnp.bfloat16)
