@@ -84,11 +84,13 @@ def _pick_tile_k(k: int, cap: int = 2816, n: int = 0) -> int:
     depend on output width (see NOTE below)."""
     # NOTE: whole-K single-step tiles (bk=k at k<=4096, via the VMEM-limit
     # raise) measured FASTER in kernel-only terms — (4096, 22528) 90.8 vs
-    # 98.3 us, (4096, 32768) 129.6 vs 142.8 — but in-engine they provoke
-    # ~1.9 us/slice operand-relayout DMAs around every call (268/step,
-    # +476 us) that eat the gain; a mixed config (whole-K only for wide N)
-    # measured worse still (+363 us vs baseline). Keep capped multi-step
-    # tiling until the relayout cause is understood.
+    # 98.3 us, (4096, 32768) 129.6 vs 142.8 — but in-engine they lose.
+    # Round-4 closure (FASTLLAMA_WHOLEK A/B): the staging is caused by the
+    # vmem-limit raise itself (100 MB: kernels -217 us/step but +478 us of
+    # MSA slice staging that the vf-flag suppression does NOT remove;
+    # default budget: scoped-VMEM OOM by 988K; minimal 20 MB raise:
+    # compiles clean, no staging, but kernels +59 us). Keep capped
+    # multi-step tiling.
     return _pick_tile(k, cap=cap, unit=256)
 
 
@@ -715,18 +717,14 @@ def q4_matmul_xla(x: jax.Array, w: QuantMatmulWeight,
                    precision=_dot_precision(w_dtype))
 
 
-# Heuristic crossover: below this M the op is HBM-bound and the Pallas
-# kernel wins by never materializing dense weights; above it XLA's matmul
-# pipeline takes over. MEASURED (don't redo): the kernel at M=512 under
-# VMEM-safe (512, 2048) tiles ran the 7B prefill at 170.8 ms wall vs
-# XLA's 130 ms — the weight-stationary kernel re-reads x per N tile and
-# its VPU dequant can't amortize over M the way XLA's one-off dequant
-# (hoisted out of the M loop) does, even though XLA's prefill is only
-# ~37% MXU. Whole-K large-M tiles (see _bk_cap) later got the isolated
-# kernel to 326 us at (512, 4096->12288) = 80% of the 262 us MXU ideal —
-# but the full prefill program with those tiles hits an opaque remote-
-# compiler crash (HTTP 500), so dispatch stays XLA above this M. The
-# large-M path is still reachable explicitly via use_pallas=True.
+# Heuristic crossover: below this M the op is HBM-bound and the DECODE
+# Pallas kernel wins by never materializing dense weights; above it the
+# dedicated prefill kernels take over (resident-x bf16 / int8 — see the
+# prefill dispatch above). MEASURED (don't redo): the decode kernel at
+# M=512 under VMEM-safe (512, 2048) tiles ran the 7B prefill at 170.8 ms
+# wall vs XLA's 130 — weight-stationary re-reads x per N tile and its VPU
+# dequant can't amortize over M. The resident-x kernel fixes exactly that
+# (round 4: 68.4 ms device vs XLA's 71.1 at 7B/512; int8 42.9).
 _PALLAS_MAX_M = 64
 
 
