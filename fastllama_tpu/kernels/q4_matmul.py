@@ -534,12 +534,46 @@ def _q4mm_prefill_kernel(x_lo_ref, x_hi_ref, bs_ref, qs_ref, sc_ref, out_ref,
     out_ref[:] += acc + _corr_dot(bs_ref[:], sc_f)
 
 
+def _q4mm_prefill_nat_kernel(x_ref, qs_ref, sc_ref, out_ref, *,
+                             bk: int, w_dtype):
+    """Natural-order bf16 prefill body: x stays UNSPLIT (resident [M, K]),
+    the dequantized weight halves are interleaved back to natural K order
+    on the sublane axis, and the -8 offset is subtracted in-kernel (int
+    sub pre-cast) instead of offset-folded — so the host passes x as-is:
+    no split_activation planes, no bsum reduce. One MXU dot per k step.
+    The interleave + subtract are VPU work per WEIGHT tile, amortized over
+    all M rows (measured free at M=512: int8 nat == split, 172.8 vs
+    172.5 us/call)."""
+    k_idx = pl.program_id(1)
+
+    @pl.when(k_idx == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    qs = qs_ref[:].astype(jnp.int32)
+    sc = _repeat_scales(sc_ref[:].astype(jnp.float32))
+    w_lo = (((qs & 0x0F) - 8).astype(jnp.float32) * sc).astype(w_dtype)
+    w_hi = (((qs >> 4) - 8).astype(jnp.float32) * sc).astype(w_dtype)
+    bkh, bn = w_lo.shape
+    nb = bkh // HALF
+    w_nat = jnp.concatenate(
+        [w_lo.reshape(nb, HALF, bn), w_hi.reshape(nb, HALF, bn)],
+        axis=1).reshape(2 * bkh, bn)
+
+    x = x_ref[:, pl.ds(k_idx * bk, bk)].astype(w_dtype)
+    prec = _dot_precision(w_dtype)
+    out_ref[:] += jnp.dot(x, w_nat, preferred_element_type=jnp.float32,
+                          precision=prec)
+
+
 @functools.partial(jax.jit, static_argnames=("block_n", "block_k",
-                                              "interpret", "w_dtype"))
+                                              "interpret", "w_dtype",
+                                              "variant"))
 def q4_matmul_prefill_pallas(x: jax.Array, qs: jax.Array, scales: jax.Array,
                              *, block_n: int = 0, block_k: int = 0,
                              interpret: bool = False,
-                             w_dtype=jnp.bfloat16) -> jax.Array:
+                             w_dtype=jnp.bfloat16,
+                             variant: str = "nat") -> jax.Array:
     """Large-M fused dequant-matmul: y[M, N] = x[M, K] @ dequant(W); f32.
 
     Replaces the XLA dequant-then-dot prefill path (which materializes the
@@ -555,15 +589,6 @@ def q4_matmul_prefill_pallas(x: jax.Array, qs: jax.Array, scales: jax.Array,
     bkh = bk // 2
     grid = (n // bn, k // bk)
 
-    x_lo, x_hi = split_activation(x)
-    bsum = x.astype(jnp.float32).reshape(m, k // QBLOCK, QBLOCK).sum(-1).T
-
-    # x_lo/x_hi blocks are the FULL arrays with a constant index_map: Mosaic
-    # fetches them once and keeps them resident across every grid cell.
-    x_spec = pl.BlockSpec((m, kh), lambda i, kk: (0, 0),
-                          memory_space=pltpu.VMEM)
-    bs_spec = pl.BlockSpec((bk // QBLOCK, m), lambda i, kk: (kk, 0),
-                           memory_space=pltpu.VMEM)
     qs_spec = pl.BlockSpec((bkh, bn), lambda i, kk: (kk, i),
                            memory_space=pltpu.VMEM)
     sc_spec = pl.BlockSpec((bk // QBLOCK, bn), lambda i, kk: (kk, i),
@@ -573,11 +598,8 @@ def q4_matmul_prefill_pallas(x: jax.Array, qs: jax.Array, scales: jax.Array,
         bytes_accessed=kh * n + (k // QBLOCK) * n * 4 + m * k * 2 + m * n * 4,
         transcendentals=0,
     )
-    kernel = functools.partial(_q4mm_prefill_kernel, w_dtype=w_dtype, bkh=bkh)
-    return pl.pallas_call(
-        kernel,
+    common = dict(
         grid=grid,
-        in_specs=[x_spec, x_spec, bs_spec, qs_spec, sc_spec],
         out_specs=pl.BlockSpec((m, bn), lambda i, kk: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
@@ -586,6 +608,33 @@ def q4_matmul_prefill_pallas(x: jax.Array, qs: jax.Array, scales: jax.Array,
             vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=cost,
         interpret=interpret,
+    )
+
+    if variant == "nat":
+        # x passes UNSPLIT and as-is (no split planes, no bsum reduce);
+        # the full [M, K] block with a constant index_map stays resident.
+        x_spec = pl.BlockSpec((m, k), lambda i, kk: (0, 0),
+                              memory_space=pltpu.VMEM)
+        kernel = functools.partial(_q4mm_prefill_nat_kernel,
+                                   w_dtype=w_dtype, bk=bk)
+        return pl.pallas_call(
+            kernel, in_specs=[x_spec, qs_spec, sc_spec], **common,
+        )(x, qs, scales)
+
+    x_lo, x_hi = split_activation(x)
+    bsum = x.astype(jnp.float32).reshape(m, k // QBLOCK, QBLOCK).sum(-1).T
+
+    # x_lo/x_hi blocks are the FULL arrays with a constant index_map: Mosaic
+    # fetches them once and keeps them resident across every grid cell.
+    x_spec = pl.BlockSpec((m, kh), lambda i, kk: (0, 0),
+                          memory_space=pltpu.VMEM)
+    bs_spec = pl.BlockSpec((bk // QBLOCK, m), lambda i, kk: (kk, 0),
+                           memory_space=pltpu.VMEM)
+    kernel = functools.partial(_q4mm_prefill_kernel, w_dtype=w_dtype, bkh=bkh)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[x_spec, x_spec, bs_spec, qs_spec, sc_spec],
+        **common,
     )(x_lo, x_hi, bsum, qs, scales)
 
 
@@ -637,11 +686,50 @@ def _q4mm_prefill_int8_kernel(x_lo_ref, x_hi_ref, dx_ref, s8_ref, qs_ref,
                       * dx_ref[:] * s8_ref[:])
 
 
+def _q4mm_prefill_int8_nat_kernel(xq_ref, dx_ref, s8_ref, qs_ref, sc_ref,
+                                  out_ref, acc_scr, *, bk: int, nk: int):
+    """Natural-order int8 prefill body: x stays UNSPLIT ([M, K] int8,
+    resident) and the requantized weight halves are interleaved back to
+    natural K order IN-KERNEL on the sublane axis (reshape/concat on
+    sublanes — no lane shuffles), so each k step is ONE int8 MXU dot.
+    Kills the host-side split_activation materialization (2 int8 planes +
+    their copies per call, ~2-3 ms/step at 7B/512). The sublane interleave
+    is VPU work per WEIGHT tile — amortized over all M rows (the same
+    trick measured 12.6 us/call WORSE for the M=8 decode kernel, round 2:
+    'in-kernel natural-order interleave'; at M=512 the MXU dominates)."""
+    k_idx = pl.program_id(1)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    qs = qs_ref[:].astype(jnp.int32)
+    sc = _repeat_scales(sc_ref[:].astype(jnp.float32))
+    w_lo = jnp.round(((qs & 0x0F) - 8).astype(jnp.float32) * sc
+                     ).astype(jnp.int8)
+    w_hi = jnp.round(((qs >> 4) - 8).astype(jnp.float32) * sc
+                     ).astype(jnp.int8)
+    bkh, bn = w_lo.shape
+    nb = bkh // HALF
+    w_nat = jnp.concatenate(
+        [w_lo.reshape(nb, HALF, bn), w_hi.reshape(nb, HALF, bn)],
+        axis=1).reshape(2 * bkh, bn)
+
+    xq = xq_ref[:, pl.ds(k_idx * bk, bk)]
+    acc_scr[:] += jnp.dot(xq, w_nat, preferred_element_type=jnp.int32)
+
+    @pl.when(k_idx == nk - 1)
+    def _():
+        out_ref[:] = (acc_scr[:].astype(jnp.float32)
+                      * dx_ref[:] * s8_ref[:])
+
+
 @functools.partial(jax.jit, static_argnames=("block_n", "block_k",
-                                              "interpret"))
+                                              "interpret", "variant"))
 def q4_matmul_prefill_int8(x: jax.Array, qs: jax.Array, scales: jax.Array,
                            *, block_n: int = 0, block_k: int = 0,
-                           interpret: bool = False) -> jax.Array:
+                           interpret: bool = False,
+                           variant: str = "nat") -> jax.Array:
     """Activation-quantized large-M matmul: y ~= x @ dequant(W); f32 out.
 
     Same resident-x grid as q4_matmul_prefill_pallas; the MXU runs int8.
@@ -667,16 +755,7 @@ def q4_matmul_prefill_int8(x: jax.Array, qs: jax.Array, scales: jax.Array,
     # quotient plane + an int8 plane + two slice copies per call).
     xf = x.astype(jnp.float32)
     dx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-20) / 127.0
-    x_lo, x_hi = split_activation(xf)
 
-    def q8(half):
-        return jnp.clip(jnp.round(half / dx[:, None]), -127, 127
-                        ).astype(jnp.int8)
-
-    xq_lo, xq_hi = q8(x_lo), q8(x_hi)
-
-    x_spec = pl.BlockSpec((m, kh), lambda i, kk: (0, 0),
-                          memory_space=pltpu.VMEM)
     dx_spec = pl.BlockSpec((m, 1), lambda i, kk: (0, 0),
                            memory_space=pltpu.VMEM)
     s8_spec = pl.BlockSpec((1, bn), lambda i, kk: (0, i),
@@ -690,12 +769,8 @@ def q4_matmul_prefill_int8(x: jax.Array, qs: jax.Array, scales: jax.Array,
         bytes_accessed=kh * n + (k // QBLOCK) * n * 4 + m * k + m * n * 4,
         transcendentals=0,
     )
-    kernel = functools.partial(_q4mm_prefill_int8_kernel, bkh=bkh,
-                               nk=k // bk)
-    return pl.pallas_call(
-        kernel,
+    common = dict(
         grid=grid,
-        in_specs=[x_spec, x_spec, dx_spec, s8_spec, qs_spec, sc_spec],
         out_specs=pl.BlockSpec((m, bn), lambda i, kk: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
@@ -705,6 +780,37 @@ def q4_matmul_prefill_int8(x: jax.Array, qs: jax.Array, scales: jax.Array,
             vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=cost,
         interpret=interpret,
+    )
+
+    def q8(v):
+        return jnp.clip(jnp.round(v / dx[:, None]), -127, 127
+                        ).astype(jnp.int8)
+
+    if variant == "nat":
+        # unsplit x; the kernel interleaves the weight halves to natural
+        # K order on the sublane axis instead
+        xq = q8(xf)
+        x_spec = pl.BlockSpec((m, k), lambda i, kk: (0, 0),
+                              memory_space=pltpu.VMEM)
+        kernel = functools.partial(_q4mm_prefill_int8_nat_kernel, bk=bk,
+                                   nk=k // bk)
+        return pl.pallas_call(
+            kernel,
+            in_specs=[x_spec, dx_spec, s8_spec, qs_spec, sc_spec],
+            **common,
+        )(xq, dx[:, None], s8[None, :], qs, sc_norm)
+
+    # "split" variant: quantized halves as two operands
+    x_lo, x_hi = split_activation(xf)
+    xq_lo, xq_hi = q8(x_lo), q8(x_hi)
+    x_spec = pl.BlockSpec((m, kh), lambda i, kk: (0, 0),
+                          memory_space=pltpu.VMEM)
+    kernel = functools.partial(_q4mm_prefill_int8_kernel, bkh=bkh,
+                               nk=k // bk)
+    return pl.pallas_call(
+        kernel,
+        in_specs=[x_spec, x_spec, dx_spec, s8_spec, qs_spec, sc_spec],
+        **common,
     )(xq_lo, xq_hi, dx[:, None], s8[None, :], qs, sc_norm)
 
 

@@ -52,6 +52,9 @@ def main():
                     y = q4_matmul_prefill_pallas(x, qs, scales)
                 elif _v == "pfi8":
                     y = q4_matmul_prefill_int8(x, qs, scales)
+                elif _v == "pfi8s":
+                    y = q4_matmul_prefill_int8(x, qs, scales,
+                                               variant="split")
                 elif _v == "xla":
                     from fastllama_tpu.quant.tensor import QuantMatmulWeight
                     from fastllama_tpu.kernels.q4_matmul import q4_matmul_xla
