@@ -69,14 +69,16 @@ def test_pallas_interpret_multi_k_tiles():
     np.testing.assert_allclose(np.asarray(y_p), y_ref, rtol=1e-5, atol=1e-4)
 
 
-def test_prefill_kernel_interpret_matches_oracle():
-    """Large-M resident-x kernel (f32 weights path = exact vs oracle)."""
+@pytest.mark.parametrize("variant", ["nat", "split"])
+def test_prefill_kernel_interpret_matches_oracle(variant):
+    """Large-M resident-x kernel (f32 weights path = exact vs oracle);
+    both the natural-order default and the split/offset-fold variant."""
     from fastllama_tpu.kernels.q4_matmul import q4_matmul_prefill_pallas
     x, w, y_ref = _setup(256, 512, 256)
     y = q4_matmul_prefill_pallas(x, w.qs, w.scales, interpret=True,
                                  w_dtype=jnp.float32, block_n=128,
-                                 block_k=256)
-    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-5, atol=1e-4)
+                                 block_k=256, variant=variant)
+    np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-5, atol=2e-4)
 
 
 def test_prefill_dispatch_k_split():
@@ -91,7 +93,8 @@ def test_prefill_dispatch_k_split():
     np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-5, atol=1e-4)
 
 
-def test_prefill_int8_kernel_close_to_oracle():
+@pytest.mark.parametrize("variant", ["nat", "split"])
+def test_prefill_int8_kernel_close_to_oracle(variant):
     """Activation-quantized int8 prefill kernel: bounded requant noise.
 
     Error model: weights quantized per column at S8 = 8*max_b(s)/127
@@ -101,7 +104,7 @@ def test_prefill_int8_kernel_close_to_oracle():
     from fastllama_tpu.kernels.q4_matmul import q4_matmul_prefill_int8
     x, w, y_ref = _setup(256, 512, 256)
     y = q4_matmul_prefill_int8(x, w.qs, w.scales, interpret=True,
-                               block_n=128, block_k=256)
+                               block_n=128, block_k=256, variant=variant)
     y = np.asarray(y)
     assert y.shape == y_ref.shape
     scale = (np.abs(np.asarray(x)).max(axis=1, keepdims=True)

@@ -24,6 +24,9 @@ def main():
     ap.add_argument("--layers", type=int, default=32)
     ap.add_argument("--n-ctx", type=int, default=512)
     ap.add_argument("--kv-mode", default="paged")
+    ap.add_argument("--prompt-words", type=int, default=2,
+                    help="prompt length in words (longer -> deeper cache "
+                         "lengths during the profiled steps)")
     args = ap.parse_args()
 
     import jax
@@ -45,13 +48,16 @@ def main():
     toks += [(f" w{i}".encode(), 1.0) for i in range(741)]
     vocab = Vocab.from_tokens(toks)
 
-    rcfg = RuntimeConfig(prefill_buckets=(16,))
+    # bucket covers the requested prompt length (tokens ~ words*2 + BOS)
+    rcfg = RuntimeConfig(prefill_buckets=(max(16, args.prompt_words * 4),))
     t0 = time.time()
     eng = BatchEngine(hp, params, vocab, n_slots=args.slots,
                       n_ctx=args.n_ctx, rcfg=rcfg, temp=0.8,
                       kv_mode=args.kv_mode, drain_depth=10 ** 6,
                       sampling_seed=0)
-    reqs = [Request(prompt=f"w{i % 7} w{i % 11}", max_tokens=10 ** 6)
+    reqs = [Request(prompt=" ".join(f"w{(i + j) % 700}"
+                                    for j in range(args.prompt_words)),
+                    max_tokens=10 ** 6)
             for i in range(args.slots)]
     for r in reqs:
         eng.submit(r)
