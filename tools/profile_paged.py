@@ -48,8 +48,10 @@ def main():
     toks += [(f" w{i}".encode(), 1.0) for i in range(741)]
     vocab = Vocab.from_tokens(toks)
 
-    # bucket covers the requested prompt length (tokens ~ words*2 + BOS)
-    rcfg = RuntimeConfig(prefill_buckets=(max(16, args.prompt_words * 4),))
+    # bucket covers the requested prompt length (each " wN" word is one
+    # vocab token, +BOS) but must stay within n_ctx or admission rejects
+    rcfg = RuntimeConfig(prefill_buckets=(
+        min(args.n_ctx, max(16, args.prompt_words + 64)),))
     t0 = time.time()
     eng = BatchEngine(hp, params, vocab, n_slots=args.slots,
                       n_ctx=args.n_ctx, rcfg=rcfg, temp=0.8,
