@@ -90,8 +90,10 @@ class RuntimeConfig:
     # Activation-quantized int8 prefill matmuls (~2x MXU rate, ~0.5%
     # bounded requant noise; kernels/q4_matmul.q4_matmul_prefill_int8 —
     # the TPU re-design of the reference's q8_0-activation compute path,
-    # lib/ggml.c:8105-8119). Default off: bf16 dequant is bit-faithful.
-    prefill_int8: bool = False
+    # lib/ggml.c:8105-8119). Tri-state: None defers to the
+    # FASTLLAMA_PREFILL_INT8 env var; explicit True/False pins the path
+    # (False always = bit-faithful bf16 dequant).
+    prefill_int8: bool | None = None
     # Tracing (reference analog: ggml perf counters + graph_print): when
     # set, FastLlama.generate / BatchEngine.run wrap their hot regions in
     # jax.profiler traces under this directory (utils/trace.py).

@@ -52,9 +52,12 @@ _WHOLEK = _os.environ.get("FASTLLAMA_WHOLEK", "0") != "0"
 # -217 us/step but +478 us of slice staging around them — net worse).
 # "2": whole-K at a MINIMAL raise (the (4096, 1024) tile set misses the
 # default budget by only 988K: "Scoped allocation with size 16.96M").
+# Unrecognized non-zero values (e.g. "true") map to the safe minimal tier:
+# whole-K tiles under the DEFAULT budget are a known scoped-VMEM OOM.
 _VMEM_LIMIT = {None: None, "1": 100 * 1024 * 1024,
                "2": 20 * 1024 * 1024}.get(
-    _os.environ.get("FASTLLAMA_WHOLEK") if _WHOLEK else None)
+    _os.environ.get("FASTLLAMA_WHOLEK") if _WHOLEK else None,
+    20 * 1024 * 1024)
 
 
 def _dot_precision(w_dtype):
@@ -584,7 +587,9 @@ def q4_matmul_prefill_pallas(x: jax.Array, qs: jax.Array, scales: jax.Array,
     m, k = x.shape
     kh, n = qs.shape
     assert kh * 2 == k, (x.shape, qs.shape)
-    bn = block_n or _pick_tile(n, cap=_prefill_bn(m, k))
+    # itemsize of the RESIDENT x operand (callers cast to w_dtype before the
+    # call) — must match what prefill_shapes_supported validated
+    bn = block_n or _pick_tile(n, cap=_prefill_bn(m, k, x.dtype.itemsize))
     bk = block_k or _pick_tile_k(k, cap=2048)
     bkh = bk // 2
     grid = (n // bn, k // bk)
@@ -737,7 +742,9 @@ def q4_matmul_prefill_int8(x: jax.Array, qs: jax.Array, scales: jax.Array,
     m, k = x.shape
     kh, n = qs.shape
     assert kh * 2 == k, (x.shape, qs.shape)
-    bn = block_n or _pick_tile(n, cap=_prefill_bn(m, k))
+    # resident x is the int8 plane: itemsize 1 (the float input is
+    # quantized before the pallas_call below)
+    bn = block_n or _pick_tile(n, cap=_prefill_bn(m, k, 1))
     bk = block_k or _pick_tile_k(k, cap=2048)
     bkh = bk // 2
     grid = (n // bn, k // bk)

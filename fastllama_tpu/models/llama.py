@@ -176,9 +176,11 @@ class ForwardConfig:
     # int8 MXU kernel (kernels/q4_matmul.q4_matmul_prefill_int8): ~2x the
     # bf16 prefill matmul rate for ~0.5% bounded requant noise — the TPU
     # realization of the reference's q8_0-activation compute path
-    # (lib/ggml.c:8105-8119). False = bit-faithful bf16 dequant (the
-    # FASTLLAMA_PREFILL_INT8 env var can still force it process-wide).
-    prefill_int8: bool = False
+    # (lib/ggml.c:8105-8119). Tri-state: None defers to the
+    # FASTLLAMA_PREFILL_INT8 env var (read at trace time); an explicit
+    # True/False PINS the path regardless of the env var — so False always
+    # means the bit-faithful bf16 dequant.
+    prefill_int8: bool | None = None
 
     @property
     def w_jdtype(self):
@@ -200,7 +202,7 @@ def apply_linear(x: jax.Array, w: Linear, cfg: ForwardConfig) -> jax.Array:
     """y = x @ W for quantized or dense weights; f32 result."""
     if isinstance(w, QuantMatmulWeight):
         return q4_matmul(x, w, use_pallas=cfg.use_pallas, w_dtype=cfg.w_jdtype,
-                         prefill_int8=cfg.prefill_int8 or None)
+                         prefill_int8=cfg.prefill_int8)
     precision = (jax.lax.Precision.HIGHEST
                  if w.dtype == jnp.float32 else None)
     return jnp.dot(x.astype(w.dtype), w,
