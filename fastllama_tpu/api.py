@@ -95,13 +95,14 @@ class Model:
                  temp: float = 0.8,
                  repeat_penalty: float = 1.0,
                  streaming_fn: Callable[[str], None] = lambda s: None,
-                 stop_words: Sequence[str] = ()) -> bool:
+                 stop_words: Sequence[str] = (),
+                 interrupt_fn: "Callable[[], bool] | None" = None) -> bool:
         if stop_words:
             self.set_stop_words(*stop_words)
         return self._session.generate(
             streaming_fn, num_tokens=num_tokens, top_k=top_k, top_p=top_p,
             temp=temp, repeat_penalty=repeat_penalty,
-            stop_words=self._stop_words)
+            stop_words=self._stop_words, interrupt_fn=interrupt_fn)
 
     def perplexity(self, prompt: str) -> Optional[float]:
         return self._session.perplexity(prompt)

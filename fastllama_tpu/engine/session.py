@@ -172,7 +172,8 @@ class FastLlama:
                  top_p: float = 0.95,
                  temp: float = 0.8,
                  repeat_penalty: float = 1.0,
-                 stop_words: Sequence[str] = ()) -> bool:
+                 stop_words: Sequence[str] = (),
+                 interrupt_fn: "Callable[[], bool] | None" = None) -> bool:
         """Generate up to num_tokens, streaming text (bridge.cpp:240-312).
 
         Ctrl-C mid-generation stops cleanly at the next token boundary and
@@ -180,7 +181,9 @@ class FastLlama:
         into the library the same way (interfaces/python/fastllama.py:238-242,
         interfaces/c/main.cpp:229-232). The previous handler is restored on
         exit; `self.interrupted` reports whether the last generate() was cut
-        short."""
+        short. `interrupt_fn` is an extra per-token stop poll for callers
+        that cannot use Python signal handlers (the C ABI's
+        llama_handle_signal routes through it)."""
         self.logger.reset()
         if not self.model.is_valid:
             self.logger.log_err("generate", "tried to generate using invalid model\n")
@@ -189,10 +192,11 @@ class FastLlama:
         with trace_region(self.model.rcfg.profile_dir, "generate"):
             return self._generate_traced(streaming_fn, num_tokens, top_k,
                                          top_p, temp, repeat_penalty,
-                                         stop_words)
+                                         stop_words, interrupt_fn)
 
     def _generate_traced(self, streaming_fn, num_tokens, top_k, top_p, temp,
-                         repeat_penalty, stop_words) -> bool:
+                         repeat_penalty, stop_words,
+                         interrupt_fn=None) -> bool:
         vocab = self.model.vocab
         stop_bytes = [w.encode("utf-8") for w in stop_words]
         max_buf = max((len(tokenize(vocab, w, bos=False)) for w in stop_words),
@@ -225,6 +229,8 @@ class FastLlama:
                     self._token_buffer_state = token_buffer.get_partial_state()
                     self._token_buffer_state.left_out = after
                     return True
+                if interrupt_fn is not None and interrupt_fn():
+                    self.interrupted = True
                 if self.interrupted:
                     break
 

@@ -22,6 +22,7 @@
 
 #include <Python.h>
 
+#include <csignal>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
@@ -135,6 +136,15 @@ PyObject* shim_progress(PyObject* self, PyObject* args) {
     Py_RETURN_NONE;
 }
 
+// Interrupt flag set by llama_handle_signal (possibly from an async signal
+// context — sig_atomic_t is the only type safely writable there) and polled
+// once per token by the session's generate loop via the shim below.
+volatile std::sig_atomic_t g_interrupt = 0;
+
+PyObject* shim_poll_interrupt(PyObject*, PyObject*) {
+    return PyBool_FromLong(g_interrupt != 0);
+}
+
 PyObject* shim_stream(PyObject* self, PyObject* arg) {
     Py_ssize_t n = 0;
     const char* s = PyUnicode_AsUTF8AndSize(arg, &n);
@@ -150,6 +160,8 @@ PyMethodDef kResetDef = {"c_reset", shim_reset, METH_NOARGS, nullptr};
 PyMethodDef kProgressDef = {"c_progress", shim_progress, METH_VARARGS,
                             nullptr};
 PyMethodDef kStreamDef = {"c_stream", shim_stream, METH_O, nullptr};
+PyMethodDef kPollDef = {"c_poll_interrupt", shim_poll_interrupt, METH_NOARGS,
+                        nullptr};
 
 // wrap a C pointer as a Python callable (new ref); None when fn is NULL
 PyObject* wrap_c_fn(void* fn, PyMethodDef* def) {
@@ -418,24 +430,33 @@ bool llama_generate(struct llama_model_context* ctx,
                     float repeat_penalty) {
     if (!ctx) return false;
     GilGuard gil;
+    g_interrupt = 0;  // a stop requested for a PREVIOUS generate is spent
     PyObject* cb = wrap_c_fn((void*)stream_fn, &kStreamDef);
     if (!cb) return false;
+    PyObject* poll = PyCFunction_New(&kPollDef, nullptr);
+    if (!poll) {
+        Py_DECREF(cb);
+        return false;
+    }
     PyObject* m = ctx->model
         ? PyObject_GetAttrString(ctx->model, "generate") : nullptr;
     if (!m) {
         if (ctx->model) PyErr_Print();
         Py_DECREF(cb);
+        Py_DECREF(poll);
         return false;
     }
     PyObject* kw = Py_BuildValue(
-        "{s:n,s:i,s:f,s:f,s:f,s:O}",
+        "{s:n,s:i,s:f,s:f,s:f,s:O,s:O}",
         "num_tokens", static_cast<Py_ssize_t>(number_of_tokens),
         "top_k", static_cast<int>(top_k),
         "top_p", top_p,
         "temp", temp,
         "repeat_penalty", repeat_penalty,
-        "streaming_fn", cb);
+        "streaming_fn", cb,
+        "interrupt_fn", poll);
     Py_DECREF(cb);
+    Py_DECREF(poll);
     if (!kw) {
         Py_DECREF(m);
         return false;
@@ -520,6 +541,15 @@ bool llama_detach_lora(struct llama_model_context* ctx) {
 
 bool llama_reset_model(struct llama_model_context* ctx) {
     return bool_method(ctx, "reset", nullptr);
+}
+
+void llama_handle_signal(int signum) {
+    // Async-signal-safe: only the sig_atomic_t store. The in-flight
+    // llama_generate (if any) sees the flag at its next per-token poll and
+    // returns cleanly with the session resumable — unlike the reference,
+    // which printf+exit(0)s from the handler (interfaces/c/main.cpp:229-232).
+    (void)signum;
+    g_interrupt = 1;
 }
 
 void llama_free_context(struct llama_model_context* ctx) {

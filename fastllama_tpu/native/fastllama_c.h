@@ -136,6 +136,15 @@ bool llama_detach_lora(struct llama_model_context* ctx);
 /* Reset session memory (keeps the loaded weights). */
 bool llama_reset_model(struct llama_model_context* ctx);
 
+/* Signal hook (reference: interfaces/c/main.cpp:229-232 — which exits the
+ * process). Here it is async-signal-safe and REQUESTS a clean stop instead:
+ * it sets a flag that every in-flight llama_generate polls once per token;
+ * the generate returns true at the next token boundary with the session
+ * fully resumable (ingest/generate continue to work). Install it directly:
+ * signal(SIGINT, llama_handle_signal). The flag clears when the next
+ * llama_generate starts. */
+void llama_handle_signal(int signum);
+
 void llama_free_context(struct llama_model_context* ctx);
 
 #ifdef __cplusplus

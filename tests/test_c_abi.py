@@ -160,6 +160,83 @@ def test_c_abi_perplexity_real_vocab(c_ppl, real_vocab_model):
     assert 0 <= argmax < 32000
 
 
+@pytest.fixture(scope="module")
+def c_interrupt(c_abi_lib, tmp_path_factory):
+    out = tmp_path_factory.mktemp("cint") / "fl_interrupt"
+    r = subprocess.run(
+        ["gcc" if shutil.which("gcc") else "g++",
+         str(Path(__file__).resolve().parent / "_c_interrupt.c"),
+         f"-I{NATIVE}", f"-L{NATIVE}", "-lfastllama_c", "-o", str(out)],
+        capture_output=True, text=True)
+    assert r.returncode == 0, f"interrupt fixture compile failed:\n{r.stderr}"
+    return out
+
+
+def test_c_abi_handle_signal_stops_generate(c_interrupt, tiny_model):
+    """llama_handle_signal mid-generate: the in-flight generate stops at the
+    next token boundary and returns true; the flag is cleared by the next
+    llama_generate, which runs unimpeded (reference analog: the handler
+    exits the process, interfaces/c/main.cpp:229-232 — here the session
+    stays resumable per the header contract)."""
+    env = dict(os.environ)
+    libdirs = [str(NATIVE), sysconfig.get_config_var("LIBDIR") or ""]
+    if env.get("LD_LIBRARY_PATH"):
+        libdirs.append(env["LD_LIBRARY_PATH"])
+    env["LD_LIBRARY_PATH"] = ":".join(d for d in libdirs if d)
+    env["PYTHONPATH"] = str(REPO) + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
+    env["FASTLLAMA_C_INIT"] = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')")
+    n_req = 12
+    r = subprocess.run([str(c_interrupt), tiny_model, " t1 t2", str(n_req)],
+                       capture_output=True, text=True, timeout=900, env=env)
+    assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
+    import re
+    m = re.search(r"chunks1=(\d+) chunks2=(\d+)", r.stdout)
+    assert m, r.stdout
+    chunks1, chunks2 = int(m.group(1)), int(m.group(2))
+    # the signal lands after the first streamed chunk: the loop notices at
+    # its next per-token poll, so far fewer than n_req tokens stream
+    assert 1 <= chunks1 <= 3, (chunks1, chunks2)
+    # the second generate must NOT be stopped by the spent flag (tiny-model
+    # greedy decode may hit EOS early; "well past the interrupted count"
+    # is the discriminating bound)
+    assert chunks2 > chunks1, (chunks1, chunks2)
+
+
+@pytest.fixture(scope="module")
+def c_alpaca(c_abi_lib, tmp_path_factory):
+    out = tmp_path_factory.mktemp("calpaca") / "fl_alpaca"
+    r = subprocess.run(
+        ["gcc" if shutil.which("gcc") else "g++",
+         str(REPO / "examples" / "c" / "example-alpaca.c"),
+         f"-I{NATIVE}", f"-L{NATIVE}", "-lfastllama_c", "-o", str(out)],
+        capture_output=True, text=True)
+    assert r.returncode == 0, f"alpaca example compile failed:\n{r.stderr}"
+    return out
+
+
+def test_c_abi_alpaca_example(c_alpaca, tiny_model):
+    """The alpaca REPL example end-to-end: one instruction line on stdin is
+    wrapped in the Alpaca template, ingested, and answered (mirrors
+    /root/reference/examples/c/example-alpaca.c usage)."""
+    env = dict(os.environ)
+    libdirs = [str(NATIVE), sysconfig.get_config_var("LIBDIR") or ""]
+    if env.get("LD_LIBRARY_PATH"):
+        libdirs.append(env["LD_LIBRARY_PATH"])
+    env["LD_LIBRARY_PATH"] = ":".join(d for d in libdirs if d)
+    env["PYTHONPATH"] = str(REPO) + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
+    env["FASTLLAMA_C_INIT"] = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')")
+    r = subprocess.run([str(c_alpaca), tiny_model, "4", "0"],
+                       input="t1 t2\n", capture_output=True, text=True,
+                       timeout=900, env=env)
+    assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
+    # REPL prompt printed twice (before and after the turn) + streamed text
+    assert r.stdout.count("User: ") == 2, r.stdout
+
+
 def test_c_abi_greedy_matches_python_api(c_demo, tiny_model):
     """The C surface is a veneer: greedy text through the ABI equals greedy
     text through fastllama_tpu.Model on the same checkpoint."""
