@@ -90,9 +90,11 @@ class RuntimeConfig:
     # Activation-quantized int8 prefill matmuls (~2x MXU rate, ~0.5%
     # bounded requant noise; kernels/q4_matmul.q4_matmul_prefill_int8 —
     # the TPU re-design of the reference's q8_0-activation compute path,
-    # lib/ggml.c:8105-8119). Tri-state: None defers to the
-    # FASTLLAMA_PREFILL_INT8 env var; explicit True/False pins the path
-    # (False always = bit-faithful bf16 dequant).
+    # lib/ggml.c:8105-8119, which the reference runs unconditionally).
+    # Tri-state: None defers to FASTLLAMA_PREFILL_INT8, default ON for
+    # bf16 production mode (quality measured inside the q4_0 gate's own
+    # margin — see tests/test_perplexity_gate.py); explicit True/False
+    # pins the path (False always = bit-faithful bf16 dequant).
     prefill_int8: bool | None = None
     # Tracing (reference analog: ggml perf counters + graph_print): when
     # set, FastLlama.generate / BatchEngine.run wrap their hot regions in

@@ -821,6 +821,33 @@ def q4_matmul_prefill_int8(x: jax.Array, qs: jax.Array, scales: jax.Array,
     )(xq_lo, xq_hi, dx[:, None], s8[None, :], qs, sc_norm)
 
 
+def q4_matmul_int8_xla(x: jax.Array, qs: jax.Array,
+                       scales: jax.Array) -> jax.Array:
+    """Exact-semantics XLA emulation of the int8 prefill kernel.
+
+    Reproduces q4_matmul_prefill_int8's arithmetic step for step — the same
+    per-column S8 / per-row dx scale factoring, the same requantization
+    rounding (jnp.round half-to-even), exact int32 accumulation, and the
+    same (acc*dx)*s8 rescale order — so ``prefill_int8=True`` means the
+    SAME numbers on every backend. Used on CPU (tests, the ppl-gate quality
+    harness) and as the TPU fallback when the kernel's shape guard rejects;
+    the Pallas kernel is the performance path."""
+    s8 = jnp.maximum(jnp.max(jnp.abs(scales), axis=0) * (8.0 / 127.0), 1e-20)
+    sc = _repeat_scales((scales / s8[None, :]).astype(jnp.float32))
+    qsw = qs.astype(jnp.int32)
+    w_lo = jnp.round(((qsw & 0x0F) - 8).astype(jnp.float32) * sc
+                     ).astype(jnp.int32)
+    w_hi = jnp.round(((qsw >> 4) - 8).astype(jnp.float32) * sc
+                     ).astype(jnp.int32)
+    xf = x.astype(jnp.float32)
+    dx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-20) / 127.0
+    xq = jnp.clip(jnp.round(xf / dx[:, None]), -127, 127).astype(jnp.int32)
+    x_lo, x_hi = split_activation(xq)
+    acc = jnp.dot(x_lo, w_lo, preferred_element_type=jnp.int32)
+    acc += jnp.dot(x_hi, w_hi, preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * dx[:, None] * s8[None, :]
+
+
 def q4_matmul_xla(x: jax.Array, w: QuantMatmulWeight,
                   w_dtype=jnp.bfloat16) -> jax.Array:
     """Dequant-then-dot; XLA fuses the dequant chain into the matmul.
@@ -901,13 +928,32 @@ def _prefill_kernel_enabled() -> bool:
     return os.environ.get("FASTLLAMA_PREFILL_KERNEL", "1") != "0"
 
 
-def _prefill_int8_enabled() -> bool:
-    """FASTLLAMA_PREFILL_INT8=1 routes large-M q4_0 matmuls through the
-    activation-quantized int8 MXU kernel (2x MXU rate, ~0.4% bounded
-    requant noise on weights/activations). Off by default: the bf16 path
-    is bit-faithful to dequantization."""
+# Default for the activation-quantized int8 prefill path when neither the
+# config (prefill_int8 tri-state) nor FASTLLAMA_PREFILL_INT8 decides.
+# Applies only to production bf16 runs — f32 weight mode is the bit-faithful
+# parity contract and never silently requantizes.
+#
+# ON by default (round 5): measured end-to-end on the worst-case random
+# tiny-model harness, the int8 path's quality cost is INSIDE the q4_0
+# quantization gate's own margin (|dlog ppl| int8-vs-exact 0.013 vs
+# q4-vs-f32 0.018; prefill logits corr 0.9995 — tests/test_perplexity_gate
+# .py::test_int8_prefill_ppl_within_gate), and the reference runs its q8_0
+# activation-quant analog unconditionally (lib/ggml.c:8105-8119), so
+# default-on is the parity-faithful choice. RuntimeConfig(prefill_int8=
+# False) or FASTLLAMA_PREFILL_INT8=0 pins the bit-faithful bf16 path.
+_PREFILL_INT8_DEFAULT = True
+
+
+def _prefill_int8_enabled(w_dtype=jnp.bfloat16) -> bool:
+    """FASTLLAMA_PREFILL_INT8=1/0 force the activation-quantized int8
+    prefill path on/off (2x MXU rate, ~0.4% bounded requant noise on
+    weights/activations — the reference runs its q8_0 analog always-on,
+    lib/ggml.c:8105-8119). Unset: _PREFILL_INT8_DEFAULT, bf16 mode only."""
     import os
-    return os.environ.get("FASTLLAMA_PREFILL_INT8", "0") == "1"
+    v = os.environ.get("FASTLLAMA_PREFILL_INT8")
+    if v is not None:
+        return v == "1"
+    return _PREFILL_INT8_DEFAULT and jnp.dtype(w_dtype) != jnp.float32
 
 
 def _prefill_bn(m: int, k: int, itemsize: int = 2) -> int:
@@ -981,14 +1027,15 @@ def q4_matmul(x: jax.Array, w: QuantMatmulWeight, *,
 
     # Large-M (prefill) path: resident-x fused kernel. Only q4_0 (mins-free)
     # weights; q4_1/GPTQ prefill stays on the XLA path.
-    prefill = (m >= _PREFILL_MIN_M and w.mins is None
-               and _prefill_kernel_enabled()
+    prefill_size = m >= _PREFILL_MIN_M and w.mins is None
+    use_int8 = prefill_size and (
+        _prefill_int8_enabled(w_dtype) if prefill_int8 is None
+        else bool(prefill_int8))
+    prefill = (prefill_size and _prefill_kernel_enabled()
                and (use_pallas or (use_pallas is None
                                    and jax.default_backend() == "tpu")))
     if prefill:
         n_stored = w.qs.shape[1]
-        use_int8 = (_prefill_int8_enabled() if prefill_int8 is None
-                    else prefill_int8)
         itemsize = 1 if use_int8 else jnp.dtype(w_dtype).itemsize
         parts = _prefill_k_parts(k_stored, m, itemsize)
         if parts is not None and all(
@@ -1011,6 +1058,16 @@ def q4_matmul(x: jax.Array, w: QuantMatmulWeight, *,
             if y.shape[-1] != n_eff:
                 y = y[:, :n_eff]
             return y.reshape(*lead, n_eff)
+
+    if use_int8:
+        # int8 semantics were requested but the Pallas path was not taken
+        # (CPU backend, or the kernel's shape guard rejected): the exact
+        # XLA emulation keeps prefill_int8=True meaning the same arithmetic
+        # on every backend — quality tests on CPU measure the TPU path.
+        y = q4_matmul_int8_xla(x2, w.qs, w.scales)
+        if y.shape[-1] != n_eff:
+            y = y[:, :n_eff]
+        return y.reshape(*lead, n_eff)
 
     if use_pallas is None:
         use_pallas = (jax.default_backend() == "tpu") and m <= _PALLAS_MAX_M

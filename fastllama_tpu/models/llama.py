@@ -176,10 +176,11 @@ class ForwardConfig:
     # int8 MXU kernel (kernels/q4_matmul.q4_matmul_prefill_int8): ~2x the
     # bf16 prefill matmul rate for ~0.5% bounded requant noise — the TPU
     # realization of the reference's q8_0-activation compute path
-    # (lib/ggml.c:8105-8119). Tri-state: None defers to the
-    # FASTLLAMA_PREFILL_INT8 env var (read at trace time); an explicit
-    # True/False PINS the path regardless of the env var — so False always
-    # means the bit-faithful bf16 dequant.
+    # (lib/ggml.c:8105-8119 — run unconditionally there). Tri-state: None
+    # defers to the FASTLLAMA_PREFILL_INT8 env var (read at trace time),
+    # whose unset default is ON for bf16 mode and OFF for the f32 parity
+    # mode; an explicit True/False PINS the path regardless of the env var
+    # — so False always means the bit-faithful bf16 dequant.
     prefill_int8: bool | None = None
 
     @property
