@@ -75,12 +75,27 @@ class Request:
 
 
 @dataclasses.dataclass
+class _Admission:
+    """An in-flight chunked admission: the prompt's remaining chunks run
+    one per engine step against a private [1, n_ctx] row cache."""
+    slot_idx: int
+    req: Request
+    ids: list[int]
+    n_done: int = 0
+    last_logits: Optional[jax.Array] = None
+
+
+@dataclasses.dataclass
 class _Slot:
     req: Optional[Request] = None
     n_past: int = 0
     generated: int = 0
     buffer: Optional[TokenBuffer] = None
     stop_bytes: list[bytes] = dataclasses.field(default_factory=list)
+    # False while a chunked admission is still prefilling this slot: the
+    # slot is reserved (req set) but must not join decode launches or claim
+    # drained tokens until _activate_slot flips it
+    live: bool = False
 
 
 class BatchEngine:
@@ -93,6 +108,7 @@ class BatchEngine:
                  kv_mode: str = "slab",
                  page_size: int = 64, total_pages: int = 0,
                  drain_depth: Optional[int] = None,
+                 chunked_admission: bool = False,
                  logger: Logger = NULL_LOGGER):
         """kv_mode: "slab" reserves [n_slots, n_ctx] KV up front; "paged"
         shares a physical page pool (engine/paged_kv.py) so mixed-length
@@ -207,6 +223,24 @@ class BatchEngine:
         else:
             self._decode_fn = self._build_decode()
             self._prefill_fn = self._build_prefill()
+
+        # Chunked admission (single-device slab only): the prompt advances
+        # one n_batch-sized chunk per engine step instead of one monolithic
+        # bucketed prefill, so an admission never freezes the other slots
+        # for more than ~one chunk of device time. The session's ingest-loop
+        # semantics (lib/bridge.cpp:215-232) applied to the engine.
+        self.chunked_admission = (chunked_admission and kv_mode == "slab"
+                                  and self.mesh is None)
+        if chunked_admission and not self.chunked_admission:
+            logger.log_warn(
+                "BatchEngine", "chunked admission supports single-device "
+                "slab KV only; falling back to monolithic admission\n")
+        self._adm: Optional[_Admission] = None
+        if self.chunked_admission:
+            self._adm_chunk = max(8, min(rcfg.n_batch, n_ctx))
+            self._adm_kv = init_kv_cache(hp, 1, n_ctx, kv_dtype)
+            self._chunk_fn = self._build_ingest_chunk()
+            self._splice_fn = self._build_splice()
 
     # -- compiled steps ------------------------------------------------------
 
@@ -471,6 +505,61 @@ class BatchEngine:
                             out_specs=out_specs, check_vma=False)
         return jax.jit(prefill, donate_argnums=(5, 6))
 
+    def _build_ingest_chunk(self):
+        """One n_batch-wide ingest step over the private [1, n_ctx] row
+        cache. kv_update='scatter' (positions [1, T]); attention is the
+        masked einsum over rows <= position — partitioning the QUERY rows
+        into chunks leaves each row's math identical to the monolithic
+        prefill, so chunked and monolithic admissions produce the same
+        logits (exactly in f32; tested)."""
+        cfg = self.cfg
+
+        def chunk(params, tokens, n_past, kv1, last_idx):
+            logits, kv1, _ = forward(params, tokens, n_past, kv1, cfg,
+                                     last_idx)
+            return logits[:, -1, :], kv1
+
+        return jax.jit(chunk, donate_argnums=(3,))
+
+    def _build_splice(self):
+        """Copy the admission row cache into the slot's slab row (the same
+        dynamic_update_slice splice the monolithic prefill does in-jit)."""
+        def splice(kv, kv1, slot):
+            out = []
+            for (k_all, v_all), (k1, v1) in zip(kv, kv1):
+                out.append((
+                    jax.lax.dynamic_update_slice(k_all, k1, (slot, 0, 0)),
+                    jax.lax.dynamic_update_slice(v_all, v1, (slot, 0, 0))))
+            return out
+
+        return jax.jit(splice, donate_argnums=(0,))
+
+    def _start_admission(self, slot_idx: int, req: Request) -> bool:
+        ids = self._tokenize_guard(req)
+        if ids is None:
+            return False
+        self._setup_slot(slot_idx, req, ids)
+        self._adm = _Admission(slot_idx=slot_idx, req=req, ids=ids)
+        return True
+
+    def _advance_admission(self) -> None:
+        """Run ONE prompt chunk; on the final chunk, splice the row cache
+        into the slab and activate the slot."""
+        adm = self._adm
+        nb = self._adm_chunk
+        t = len(adm.ids)
+        r = min(nb, t - adm.n_done)
+        toks = np.zeros((1, nb), np.int32)
+        toks[0, :r] = adm.ids[adm.n_done:adm.n_done + r]
+        adm.last_logits, self._adm_kv = self._chunk_fn(
+            self.params, jnp.asarray(toks), jnp.int32(adm.n_done),
+            self._adm_kv, jnp.int32(r - 1))
+        adm.n_done += r
+        if adm.n_done >= t:
+            self.kv = self._splice_fn(self.kv, self._adm_kv, adm.slot_idx)
+            self._activate_slot(adm.slot_idx, adm.req, adm.last_logits, t)
+            self._adm = None
+
     # -- request lifecycle ---------------------------------------------------
 
     def submit(self, req: Request) -> Request:
@@ -488,15 +577,20 @@ class BatchEngine:
             else req.repeat_penalty
         return temp, topk, topp, rp
 
-    def _admit(self, slot_idx: int, req: Request) -> bool:
+    def _tokenize_guard(self, req: Request) -> Optional[list[int]]:
         ids = tokenize(self.vocab, " " + req.prompt, bos=True)
         if len(ids) > self.n_ctx - 4:
             req.done = True
             req.text = ""
-            self.logger.log_err("BatchEngine", f"request {req.rid} prompt too long\n")
-            return False
+            self.logger.log_err("BatchEngine",
+                                f"request {req.rid} prompt too long\n")
+            return None
+        return ids
+
+    def _setup_slot(self, slot_idx: int, req: Request, ids: list[int]) -> None:
         slot = self.slots[slot_idx]
         slot.req = req
+        slot.live = False
         slot.n_past = 0
         slot.generated = 0
         slot.stop_bytes = [w.encode() for w in req.stop_words]
@@ -511,6 +605,47 @@ class BatchEngine:
         slot.buffer = TokenBuffer(self.vocab, max_buf, emit)
         req.slot = slot_idx
         req.n_prompt = len(ids)
+
+    def _activate_slot(self, slot_idx: int, req: Request,
+                       logits_for_slot: jax.Array, t: int) -> None:
+        """Shared admission tail: fresh per-slot sampling state, the first
+        token sampled ON DEVICE (zero host round-trips), device slot state
+        armed, and the first-token drain entry queued."""
+        slot = self.slots[slot_idx]
+        req_temp, req_topk, req_topp, req_rp = self._req_sampling(req)
+        self.d_temps = self.d_temps.at[slot_idx].set(req_temp)
+        self.d_topk = self.d_topk.at[slot_idx].set(req_topk)
+        self.d_topp = self.d_topp.at[slot_idx].set(req_topp)
+        self.d_rp = self.d_rp.at[slot_idx].set(req_rp)
+        self.d_lastn = self.d_lastn.at[slot_idx].set(
+            jnp.full((self.last_n_size,), -1, jnp.int32))
+
+        first = sample_jax(
+            logits_for_slot, self.d_lastn[slot_idx:slot_idx + 1],
+            jax.random.fold_in(self._base_key, 100000 + req.rid),
+            top_k=self.top_k, top_p=req_topp, temp=req_temp,
+            repeat_penalty=req_rp,
+            top_k_v=jnp.asarray([req_topk], jnp.int32))[0]
+
+        # host counters start one behind: the first-token drain advances them
+        slot.n_past = t - 1
+        slot.generated = 0
+        slot.live = True
+
+        self.d_tokens = self.d_tokens.at[slot_idx, 0].set(first)
+        self.d_npast = self.d_npast.at[slot_idx].set(t)
+        self.d_active = self.d_active.at[slot_idx].set(True)
+        self.d_lastn = self.d_lastn.at[slot_idx, -1].set(first)
+        rids = [-1] * self.n_slots
+        rids[slot_idx] = req.rid
+        self._inflight.append((self.d_tokens, rids))
+
+    def _admit(self, slot_idx: int, req: Request) -> bool:
+        ids = self._tokenize_guard(req)
+        if ids is None:
+            return False
+        self._setup_slot(slot_idx, req, ids)
+        slot = self.slots[slot_idx]
 
         # bucketed prefill (single live row in every mode)
         t = len(ids)
@@ -561,39 +696,7 @@ class BatchEngine:
                 self.params, jnp.asarray(toks), jnp.int32(slot_idx), self.kv,
                 jnp.int32(t - 1))
 
-        # the slot's sampling state must be fresh BEFORE the first-token
-        # sample (a previous occupant's last-n window must not penalize it)
-        req_temp, req_topk, req_topp, req_rp = self._req_sampling(req)
-        self.d_temps = self.d_temps.at[slot_idx].set(req_temp)
-        self.d_topk = self.d_topk.at[slot_idx].set(req_topk)
-        self.d_topp = self.d_topp.at[slot_idx].set(req_topp)
-        self.d_rp = self.d_rp.at[slot_idx].set(req_rp)
-        self.d_lastn = self.d_lastn.at[slot_idx].set(
-            jnp.full((self.last_n_size,), -1, jnp.int32))
-
-        # First token sampled ON DEVICE — admission costs zero host
-        # round-trips (a blocking readback is ~27 ms over the TPU tunnel).
-        # The token's text reaches the host with the next drain: the entry
-        # below carries this slot's rid only.
-        first = sample_jax(
-            logits_for_slot, self.d_lastn[slot_idx:slot_idx + 1],
-            jax.random.fold_in(self._base_key, 100000 + req.rid),
-            top_k=self.top_k, top_p=req_topp, temp=req_temp,
-            repeat_penalty=req_rp,
-            top_k_v=jnp.asarray([req_topk], jnp.int32))[0]
-
-        # host counters start one behind: the first-token drain advances them
-        slot.n_past = t - 1
-        slot.generated = 0
-
-        # update device state for this row
-        self.d_tokens = self.d_tokens.at[slot_idx, 0].set(first)
-        self.d_npast = self.d_npast.at[slot_idx].set(t)
-        self.d_active = self.d_active.at[slot_idx].set(True)
-        self.d_lastn = self.d_lastn.at[slot_idx, -1].set(first)
-        rids = [-1] * self.n_slots
-        rids[slot_idx] = req.rid
-        self._inflight.append((self.d_tokens, rids))
+        self._activate_slot(slot_idx, req, logits_for_slot, t)
         return True
 
     def _emit_token(self, slot: _Slot, token: int) -> None:
@@ -624,6 +727,7 @@ class BatchEngine:
         idx = self.slots.index(slot)
         slot.req.done = True
         slot.req = None
+        slot.live = False
         self.d_active = self.d_active.at[idx].set(False)
         if self.pager is not None:
             self.pager.free_slot(idx)
@@ -631,6 +735,21 @@ class BatchEngine:
     # -- main loop -----------------------------------------------------------
 
     def _fill_idle_slots(self) -> None:
+        if self.chunked_admission:
+            # one admission in flight at a time, advanced one chunk per
+            # engine step; decode keeps running for the active slots
+            if self._adm is None and not self.pending.empty():
+                for i, slot in enumerate(self.slots):
+                    if slot.req is None:
+                        try:
+                            req = self.pending.get_nowait()
+                        except queue.Empty:
+                            break
+                        if self._start_admission(i, req):
+                            break
+            if self._adm is not None:
+                self._advance_admission()
+            return
         for i, slot in enumerate(self.slots):
             if slot.req is None and not self.pending.empty():
                 try:
@@ -647,7 +766,7 @@ class BatchEngine:
             offs = np.zeros(self.n_slots, np.int32)
             lengths = np.zeros(self.n_slots, np.int32)
             for i, slot in enumerate(self.slots):
-                if slot.req is None:
+                if slot.req is None or not slot.live:
                     continue
                 ln = int(self.pager.lengths[i])
                 if not self.pager.alloc_for(i, ln + 1):
@@ -660,7 +779,7 @@ class BatchEngine:
                 p, o = self.pager.token_page_offsets(i, ln, 1)
                 pages[i], offs[i] = p[0], o[0]
                 lengths[i] = ln
-            if not any(s.req is not None for s in self.slots):
+            if not any(s.live for s in self.slots):
                 return
             (self.d_tokens, self.d_lastn, self.d_step,
              self.pager.k_pages, self.pager.v_pages) = self._decode_fn(
@@ -671,7 +790,7 @@ class BatchEngine:
                 self._base_key, self.d_step, self.pager.k_pages,
                 self.pager.v_pages)
             for i, slot in enumerate(self.slots):
-                if slot.req is not None:
+                if slot.req is not None and slot.live:
                     self.pager.lengths[i] += 1
         else:
             (self.d_tokens, self.d_npast, self.d_lastn, self.d_step,
@@ -681,7 +800,8 @@ class BatchEngine:
                 self.d_rp, self._base_key, self.d_step, self.kv)
         self._inflight.append(
             (self.d_tokens,
-             [s.req.rid if s.req is not None else -1 for s in self.slots]))
+             [s.req.rid if s.req is not None and s.live else -1
+              for s in self.slots]))
 
     def _start_drain(self, count: int) -> None:
         """Begin an ASYNC device->host copy of the `count` oldest in-flight
@@ -733,14 +853,14 @@ class BatchEngine:
         decode step, drain once enough steps are banked. Returns the number
         of active slots (host view)."""
         self._fill_idle_slots()
-        have_active = any(s.req is not None for s in self.slots)
+        have_active = any(s.live for s in self.slots)
         if have_active:
             self._launch()
         # hysteresis: let up to 2*depth steps bank; each cycle first lands
         # the PREVIOUS cycle's async transfer (its ~27 ms tunnel crossing
         # overlapped the last `depth` device steps), then starts the next
         # one. Once idle, flush everything synchronously.
-        if not any(s.req is not None for s in self.slots):
+        if not any(s.live for s in self.slots):
             self._consume_drain()
             if self._inflight:
                 self._drain(len(self._inflight))

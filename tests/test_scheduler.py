@@ -261,3 +261,61 @@ def test_prompt_too_long_rejected(tiny_model):
     req = Request(prompt=" ".join(f"w{i % 9}" for i in range(80)), max_tokens=3)
     eng.run([req])
     assert req.done and req.text == ""
+
+
+def test_chunked_admission_matches_monolithic(tiny_model):
+    """Chunked admission partitions only the prefill's QUERY rows, so in
+    f32 the greedy streams must be identical to the monolithic engine's
+    (VERDICT r4 #4 — the session ingest-loop semantics applied to the
+    engine). n_batch=8 over a ~9-token prompt exercises multiple chunks
+    incl. a padded final one."""
+    import dataclasses
+    rcfg = dataclasses.replace(RCFG, n_batch=8)
+    mono = BatchEngine(tiny_model.hp, tiny_model.params, tiny_model.vocab,
+                       n_slots=4, n_ctx=64, rcfg=rcfg, temp=0.0)
+    reqs_m = [Request(prompt=f"w{i} w{i+1} w{i+2} w{i+3}", max_tokens=5)
+              for i in range(5)]
+    mono.run(reqs_m)
+
+    chk = BatchEngine(tiny_model.hp, tiny_model.params, tiny_model.vocab,
+                      n_slots=4, n_ctx=64, rcfg=rcfg, temp=0.0,
+                      chunked_admission=True)
+    assert chk.chunked_admission
+    reqs_c = [Request(prompt=f"w{i} w{i+1} w{i+2} w{i+3}", max_tokens=5)
+              for i in range(5)]
+    chk.run(reqs_c)
+    for rm, rc in zip(reqs_m, reqs_c):
+        assert rc.tokens_out == rm.tokens_out, (rm.text, rc.text)
+
+
+def test_chunked_admission_single_chunk_prompt(tiny_model):
+    """A prompt shorter than one chunk takes the single-padded-chunk path."""
+    eng = make_engine(tiny_model, temp=0.0, chunked_admission=True)
+    req = Request(prompt="w1 w2", max_tokens=6)
+    eng.run([req])
+    assert req.done and len(req.tokens_out) >= 1
+
+
+def test_chunked_admission_mid_run(tiny_model):
+    """A request submitted while others decode is admitted chunk by chunk
+    and completes; earlier requests are unaffected."""
+    eng = make_engine(tiny_model, n_slots=2, temp=0.0,
+                      chunked_admission=True)
+    first = Request(prompt="w1 w2 w3", max_tokens=8)
+    eng.submit(first)
+    for _ in range(4):
+        eng.step()
+    late = Request(prompt="w5 w6 w7 w8 w9 w10 w11 w12 w13", max_tokens=4)
+    eng.submit(late)
+    while not (first.done and late.done):
+        eng.step()
+    assert len(first.tokens_out) >= 1 and len(late.tokens_out) >= 1
+
+
+def test_chunked_admission_falls_back_for_paged(tiny_model):
+    eng = make_engine(tiny_model, temp=0.0, kv_mode="paged", page_size=8,
+                      chunked_admission=True)
+    assert not eng.chunked_admission
+    req = Request(prompt="w1 w2", max_tokens=4)
+    eng.run([req])
+    assert req.done

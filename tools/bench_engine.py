@@ -19,6 +19,83 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 
+def stall_bench(args, hp, params, vocab):
+    """Inter-token latency under mid-run admissions (VERDICT r4 #5/weak):
+    n_slots-1 resident decoding requests + staggered 400-token-prompt
+    admissions into the free slot; reports p50/p99/max inter-token gap of a
+    tracked resident stream and p99 engine-step wall time, monolithic vs
+    chunked admission (--chunked)."""
+    import time as _t
+    from fastllama_tpu.config import RuntimeConfig
+    from fastllama_tpu.engine.scheduler import BatchEngine, Request
+
+    rcfg = RuntimeConfig(prefill_buckets=(16, 512), n_batch=64)
+    eng = BatchEngine(hp, params, vocab, n_slots=args.slots,
+                      n_ctx=args.n_ctx, rcfg=rcfg, temp=0.8,
+                      drain_depth=args.drain_depth, sampling_seed=0,
+                      chunked_admission=args.chunked)
+    print(f"admission mode: "
+          f"{'chunked' if eng.chunked_admission else 'monolithic'}",
+          flush=True)
+
+    big_prompt = " ".join(f"w{i % 700}" for i in range(400))
+
+    # warm all compile paths: short + big admission, decode
+    t0 = _t.time()
+    warm = [Request(prompt="w1 w2 w3", max_tokens=4)
+            for _ in range(args.slots - 1)]
+    warm.append(Request(prompt=big_prompt, max_tokens=4))
+    eng.run(warm)
+    print(f"warmup (compile) {_t.time() - t0:.1f}s", flush=True)
+
+    residents = [Request(prompt=f"w{i % 7} w{i % 11}",
+                         max_tokens=args.max_tokens)
+                 for i in range(args.slots - 1)]
+    for r in residents:
+        eng.submit(r)
+
+    bigs = [Request(prompt=big_prompt, max_tokens=4)
+            for _ in range(args.admissions)]
+    step_walls: list[float] = []
+    # host-visible token arrival times, from tokens_out growth per step
+    # (detokenized-text callbacks under-report on the toy vocab: sampled
+    # ids past the word list carry no decodable text)
+    arrivals: dict[int, list[float]] = {i: [] for i in range(len(residents))}
+    seen = [0] * len(residents)
+    bi = 0
+    si = 0
+    while not all(r.done for r in residents):
+        if bi < len(bigs) and si >= 16 and si % args.stagger == 0 \
+                and (bi == 0 or bigs[bi - 1].done):
+            eng.submit(bigs[bi])
+            bi += 1
+        t0 = _t.perf_counter()
+        eng.step()
+        now = _t.perf_counter()
+        step_walls.append(now - t0)
+        for i, r in enumerate(residents):
+            d = len(r.tokens_out) - seen[i]
+            if d > 0:
+                arrivals[i].extend([now] * d)
+                seen[i] += d
+        si += 1
+
+    gaps = np.concatenate([np.diff(np.asarray(a)) for a in arrivals.values()
+                           if len(a) >= 2] or [np.zeros(0)]) * 1e3
+    sw = np.asarray(step_walls) * 1e3
+    n_tok = sum(len(r.tokens_out) for r in residents)
+    print(f"{len(residents)} residents emitted {n_tok} tokens across "
+          f"{si} steps; {bi} big admissions injected")
+    if len(gaps):
+        print(f"resident inter-token gap ms: "
+              f"p50 {np.percentile(gaps, 50):.1f} "
+              f"p90 {np.percentile(gaps, 90):.1f} "
+              f"p99 {np.percentile(gaps, 99):.1f} max {gaps.max():.1f} "
+              f"(n={len(gaps)})")
+    print(f"engine step wall ms: p50 {np.percentile(sw, 50):.1f} "
+          f"p99 {np.percentile(sw, 99):.1f} max {sw.max():.1f}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--slots", type=int, default=8)
@@ -27,6 +104,13 @@ def main():
     ap.add_argument("--max-tokens", type=int, default=64)
     ap.add_argument("--drain-depth", type=int, default=4)
     ap.add_argument("--kv-mode", default="slab")
+    ap.add_argument("--stall-bench", action="store_true",
+                    help="measure inter-token latency under mid-run "
+                    "admissions instead of throughput")
+    ap.add_argument("--chunked", action="store_true",
+                    help="chunked admission (with --stall-bench)")
+    ap.add_argument("--admissions", type=int, default=4)
+    ap.add_argument("--stagger", type=int, default=24)
     args = ap.parse_args()
 
     import jax
@@ -47,6 +131,9 @@ def main():
     toks += [(bytes([i]), -1e6) for i in range(256)]
     toks += [(f" w{i}".encode(), 1.0) for i in range(741)]
     vocab = Vocab.from_tokens(toks)
+
+    if args.stall_bench:
+        return stall_bench(args, hp, params, vocab)
 
     rcfg = RuntimeConfig(prefill_buckets=(16,))
     eng = BatchEngine(hp, params, vocab, n_slots=args.slots,
