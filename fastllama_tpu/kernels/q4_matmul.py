@@ -729,6 +729,106 @@ def _q4mm_prefill_int8_nat_kernel(xq_ref, dx_ref, s8_ref, qs_ref, sc_ref,
                       * dx_ref[:] * s8_ref[:])
 
 
+def _quant_rows_kernel(x_ref, xq_ref, dx_ref):
+    """Per-row symmetric int8 activation quant: one pass over x producing
+    the int8 plane and the per-row scale dx — the fused TPU replacement for
+    the XLA abs/max/div/round/clip chain (which materialized an f32
+    quotient plane + the int8 plane per matmul call, ~4 ms/step at 7B/512;
+    the reference fuses its q8_0 analog into the matmul's TASK_INIT phase,
+    lib/ggml.c:8105-8119)."""
+    xf = x_ref[:].astype(jnp.float32)
+    dx = jnp.maximum(jnp.max(jnp.abs(xf), axis=1, keepdims=True),
+                     1e-20) / 127.0
+    xq_ref[:] = jnp.clip(jnp.round(xf / dx), -127, 127).astype(jnp.int8)
+    dx_ref[:] = dx
+
+
+def _quant_rows_bm(m: int, k: int, itemsize: int) -> int:
+    """Row-block: the largest 32-multiple divisor of m whose x block stays
+    ~<= 3 MB (int8 output tiling wants sublane multiples of 32; Mosaic
+    double-buffers both streamed blocks, so the scoped-VMEM footprint is
+    ~2*(in + in/4) — a 6 MB block measured 19.2M scoped and OOM'd)."""
+    best = 0
+    d = 32
+    while d <= m:
+        if m % d == 0 and d * k * itemsize <= 3 * 1024 * 1024:
+            best = d
+        d += 32
+    return best
+
+
+def quant_rows_supported(m: int, k: int, itemsize: int) -> bool:
+    return k % 128 == 0 and m % 32 == 0 and _quant_rows_bm(m, k, itemsize) > 0
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def quant_rows_int8(x: jax.Array, *, interpret: bool = False
+                    ) -> tuple[jax.Array, jax.Array]:
+    """x [M, K] float -> (xq int8 [M, K], dx f32 [M, 1]); Pallas one-pass."""
+    m, k = x.shape
+    bm = _quant_rows_bm(m, k, x.dtype.itemsize)
+    grid = (m // bm,)
+    return pl.pallas_call(
+        _quant_rows_kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((bm, k), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((bm, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((m, k), jnp.int8),
+                   jax.ShapeDtypeStruct((m, 1), jnp.float32)],
+        interpret=interpret,
+    )(x)
+
+
+def _q4mm_prefill_int8_strip_kernel(xq_ref, dx_ref, qs_ref, strip_ref,
+                                    out_ref, acc_scr, s8_scr, inv_scr, *,
+                                    bk: int, nk: int):
+    """Round-5 int8 prefill body: the per-column weight bound s8 and the
+    normalized scales are derived IN-KERNEL from a resident full-K scale
+    strip ([K/32, bn], constant-in-k index map), so the host of the kernel
+    does NO scale work at all — the round-4 revision's XLA-side s8 reduce +
+    sc/s8 normalization re-read and re-wrote the entire 0.78 GB scale plane
+    every step (~2 ms at 7B/512). The strip costs the same scale bytes the
+    per-k streaming did, once per n tile. sc * (1/s8) (reciprocal computed
+    once at k==0) replaces sc/s8 — <=1 ulp from the divide, mirrored
+    exactly by the CPU emulation. Natural-order weight interleave and the
+    i32 scratch accumulator as before."""
+    k_idx = pl.program_id(1)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+        s8 = jnp.maximum(jnp.max(jnp.abs(strip_ref[:]), axis=0,
+                                 keepdims=True) * (8.0 / 127.0), 1e-20)
+        s8_scr[:] = s8
+        inv_scr[:] = 1.0 / s8
+
+    nbk = bk // QBLOCK
+    sc_raw = strip_ref[pl.ds(k_idx * nbk, nbk), :]
+    sc = _repeat_scales(sc_raw * inv_scr[:])
+    qs = qs_ref[:].astype(jnp.int32)
+    w_lo = jnp.round(((qs & 0x0F) - 8).astype(jnp.float32) * sc
+                     ).astype(jnp.int8)
+    w_hi = jnp.round(((qs >> 4) - 8).astype(jnp.float32) * sc
+                     ).astype(jnp.int8)
+    bkh, bn = w_lo.shape
+    nb = bkh // HALF
+    w_nat = jnp.concatenate(
+        [w_lo.reshape(nb, HALF, bn), w_hi.reshape(nb, HALF, bn)],
+        axis=1).reshape(2 * bkh, bn)
+
+    xq = xq_ref[:, pl.ds(k_idx * bk, bk)]
+    acc_scr[:] += jnp.dot(xq, w_nat, preferred_element_type=jnp.int32)
+
+    @pl.when(k_idx == nk - 1)
+    def _():
+        out_ref[:] = (acc_scr[:].astype(jnp.float32)
+                      * dx_ref[:] * s8_scr[:])
+
+
 @functools.partial(jax.jit, static_argnames=("block_n", "block_k",
                                               "interpret", "variant"))
 def q4_matmul_prefill_int8(x: jax.Array, qs: jax.Array, scales: jax.Array,
@@ -749,27 +849,9 @@ def q4_matmul_prefill_int8(x: jax.Array, qs: jax.Array, scales: jax.Array,
     bkh = bk // 2
     grid = (n // bn, k // bk)
 
-    # per-column weight scale bound: |w| = |q-8|*s <= 8*max_b s  (tight when
-    # the block holding the column amax has |q-8| = 8, which q4_0's
-    # round-to-nearest from amax guarantees within one code)
-    s8 = jnp.maximum(jnp.max(jnp.abs(scales), axis=0) * (8.0 / 127.0), 1e-20)
-    sc_norm = scales / s8[None, :]
-    # dynamic symmetric per-row activation quant (the q8_0 analog; per-row
-    # instead of per-32-block so the scale factors out of the K reduction).
-    # Split FIRST, then quantize each half: the strided split slices fuse
-    # into the quant chains, so the only materialized intermediates are the
-    # int8 halves themselves (quantize-then-split materialized an f32
-    # quotient plane + an int8 plane + two slice copies per call).
-    xf = x.astype(jnp.float32)
-    dx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-20) / 127.0
-
     dx_spec = pl.BlockSpec((m, 1), lambda i, kk: (0, 0),
                            memory_space=pltpu.VMEM)
-    s8_spec = pl.BlockSpec((1, bn), lambda i, kk: (0, i),
-                           memory_space=pltpu.VMEM)
     qs_spec = pl.BlockSpec((bkh, bn), lambda i, kk: (kk, i),
-                           memory_space=pltpu.VMEM)
-    sc_spec = pl.BlockSpec((bk // QBLOCK, bn), lambda i, kk: (kk, i),
                            memory_space=pltpu.VMEM)
     cost = pl.CostEstimate(
         flops=2 * m * n * k,
@@ -781,7 +863,6 @@ def q4_matmul_prefill_int8(x: jax.Array, qs: jax.Array, scales: jax.Array,
         out_specs=pl.BlockSpec((m, bn), lambda i, kk: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((m, bn), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=_VMEM_LIMIT),
@@ -789,11 +870,53 @@ def q4_matmul_prefill_int8(x: jax.Array, qs: jax.Array, scales: jax.Array,
         interpret=interpret,
     )
 
+    if variant == "nat":
+        # Default path: fused one-pass activation quant (Pallas prep
+        # kernel), raw scales in (s8/normalization derived in-kernel from
+        # the resident strip) — the host does no per-call scale or quant
+        # chains at all.
+        if quant_rows_supported(m, k, x.dtype.itemsize):
+            xq, dx2 = quant_rows_int8(x, interpret=interpret)
+        else:
+            xf = x.astype(jnp.float32)
+            dx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1,
+                                     keepdims=True), 1e-20) / 127.0
+            xq = jnp.clip(jnp.round(xf / dx), -127, 127).astype(jnp.int8)
+            dx2 = dx
+        x_spec = pl.BlockSpec((m, k), lambda i, kk: (0, 0),
+                              memory_space=pltpu.VMEM)
+        strip_spec = pl.BlockSpec((k // QBLOCK, bn), lambda i, kk: (0, i),
+                                  memory_space=pltpu.VMEM)
+        kernel = functools.partial(_q4mm_prefill_int8_strip_kernel, bk=bk,
+                                   nk=k // bk)
+        return pl.pallas_call(
+            kernel,
+            in_specs=[x_spec, dx_spec, qs_spec, strip_spec],
+            scratch_shapes=[pltpu.VMEM((m, bn), jnp.int32),
+                            pltpu.VMEM((1, bn), jnp.float32),
+                            pltpu.VMEM((1, bn), jnp.float32)],
+            **common,
+        )(xq, dx2, qs, scales)
+
+    # Round-4 revisions, kept for A/B: "natx" = natural-order kernel with
+    # the XLA-side quant chain + normalized scale plane; "split" = split-K
+    # int8 halves as two operands.
+    s8 = jnp.maximum(jnp.max(jnp.abs(scales), axis=0) * (8.0 / 127.0), 1e-20)
+    sc_norm = scales / s8[None, :]
+    xf = x.astype(jnp.float32)
+    dx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-20) / 127.0
+
+    s8_spec = pl.BlockSpec((1, bn), lambda i, kk: (0, i),
+                           memory_space=pltpu.VMEM)
+    sc_spec = pl.BlockSpec((bk // QBLOCK, bn), lambda i, kk: (kk, i),
+                           memory_space=pltpu.VMEM)
+    common["scratch_shapes"] = [pltpu.VMEM((m, bn), jnp.int32)]
+
     def q8(v):
         return jnp.clip(jnp.round(v / dx[:, None]), -127, 127
                         ).astype(jnp.int8)
 
-    if variant == "nat":
+    if variant == "natx":
         # unsplit x; the kernel interleaves the weight halves to natural
         # K order on the sublane axis instead
         xq = q8(xf)
@@ -827,13 +950,18 @@ def q4_matmul_int8_xla(x: jax.Array, qs: jax.Array,
 
     Reproduces q4_matmul_prefill_int8's arithmetic step for step — the same
     per-column S8 / per-row dx scale factoring, the same requantization
-    rounding (jnp.round half-to-even), exact int32 accumulation, and the
-    same (acc*dx)*s8 rescale order — so ``prefill_int8=True`` means the
-    SAME numbers on every backend. Used on CPU (tests, the ppl-gate quality
-    harness) and as the TPU fallback when the kernel's shape guard rejects;
-    the Pallas kernel is the performance path."""
-    s8 = jnp.maximum(jnp.max(jnp.abs(scales), axis=0) * (8.0 / 127.0), 1e-20)
-    sc = _repeat_scales((scales / s8[None, :]).astype(jnp.float32))
+    rounding (jnp.round half-to-even), the same sc * (1/S8) reciprocal
+    normalization, exact int32 accumulation, and the same (acc*dx)*s8
+    rescale order — so ``prefill_int8=True`` means the same numbers on
+    every backend (exact int32 accumulators; the final f32 rescale may
+    differ by how XLA fuses the two multiplies, <= 2 ulp). Used on CPU (tests, the ppl-gate quality harness) and as
+    the TPU fallback when the kernel's shape guard rejects; the Pallas
+    kernel is the performance path. (Only divergence: when the resident-x
+    byte budget splits K into parts — T >= 1024 at 7B dims — each part
+    derives s8 from its own K range; the noise envelope is unchanged.)"""
+    s8 = jnp.maximum(jnp.max(jnp.abs(scales), axis=0, keepdims=True)
+                     * (8.0 / 127.0), 1e-20)
+    sc = _repeat_scales((scales * (1.0 / s8)).astype(jnp.float32))
     qsw = qs.astype(jnp.int32)
     w_lo = jnp.round(((qsw & 0x0F) - 8).astype(jnp.float32) * sc
                      ).astype(jnp.int32)
@@ -845,7 +973,7 @@ def q4_matmul_int8_xla(x: jax.Array, qs: jax.Array,
     x_lo, x_hi = split_activation(xq)
     acc = jnp.dot(x_lo, w_lo, preferred_element_type=jnp.int32)
     acc += jnp.dot(x_hi, w_hi, preferred_element_type=jnp.int32)
-    return acc.astype(jnp.float32) * dx[:, None] * s8[None, :]
+    return acc.astype(jnp.float32) * dx[:, None] * s8
 
 
 def q4_matmul_xla(x: jax.Array, w: QuantMatmulWeight,

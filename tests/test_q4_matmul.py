@@ -93,7 +93,7 @@ def test_prefill_dispatch_k_split():
     np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-5, atol=1e-4)
 
 
-@pytest.mark.parametrize("variant", ["nat", "split"])
+@pytest.mark.parametrize("variant", ["nat", "natx", "split"])
 def test_prefill_int8_kernel_close_to_oracle(variant):
     """Activation-quantized int8 prefill kernel: bounded requant noise.
 
@@ -150,3 +150,36 @@ def test_dispatch_padding_and_lead_dims():
     y = q4_matmul(x3, w, use_pallas=False, w_dtype=jnp.float32)
     assert y.shape == (1, 3, 32)
     np.testing.assert_allclose(np.asarray(y)[0], y_ref, rtol=1e-5, atol=1e-4)
+
+
+def test_quant_rows_int8_matches_chain():
+    """The fused Pallas activation-quant prep kernel (interpret) equals the
+    jnp chain bit for bit."""
+    from fastllama_tpu.kernels.q4_matmul import quant_rows_int8, quant_rows_supported
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((64, 256)).astype(np.float32))
+    assert quant_rows_supported(64, 256, 4)
+    xq, dx = quant_rows_int8(x, interpret=True)
+    dx_ref = (np.maximum(np.abs(np.asarray(x)).max(axis=1, keepdims=True),
+                         np.float32(1e-20)) / np.float32(127.0)
+              ).astype(np.float32)
+    xq_ref = np.clip(np.round(np.asarray(x) / dx_ref), -127, 127)
+    # XLA may lower /127.0 as *(1/127.0): dx agrees to 1 ulp, codes to +-1
+    # on the rare round boundary that shifts
+    np.testing.assert_allclose(np.asarray(dx), dx_ref, rtol=2e-7)
+    dq = np.abs(np.asarray(xq, np.int32) - xq_ref.astype(np.int32))
+    assert dq.max() <= 1 and (dq == 0).mean() > 0.99
+
+
+def test_prefill_int8_kernel_matches_emulation():
+    """The strip-scheme int8 kernel (interpret) and the CPU emulation carry
+    the same arithmetic: the int32 accumulators agree exactly; the final
+    f32 rescale may differ by XLA fusion of the two multiplies (<= 2 ulp)."""
+    from fastllama_tpu.kernels.q4_matmul import (
+        q4_matmul_int8_xla, q4_matmul_prefill_int8)
+    x, w, _ = _setup(256, 512, 256)
+    y_k = np.asarray(q4_matmul_prefill_int8(
+        x, w.qs, w.scales, interpret=True, block_n=128, block_k=256,
+        variant="nat"))
+    y_e = np.asarray(q4_matmul_int8_xla(x, w.qs, w.scales))
+    np.testing.assert_allclose(y_k, y_e, rtol=1e-6, atol=1e-6)
