@@ -121,7 +121,12 @@ def main() -> int:
 
     # -- TTFT: 512-token prefill + first decode step (wall, best-of-N) ------
     # BASELINE.json's metric names p50 TTFT explicitly; capture it in the
-    # same run (round-3 verdict #5).
+    # same run (round-3 verdict #5). The DEFAULT prefill path is the
+    # activation-quantized int8 kernel (quality measured inside the q4_0
+    # gate's own margin, round 5 — tests/test_perplexity_gate.py; the
+    # reference runs its q8_0 analog unconditionally), so the headline
+    # TTFT is the default path and the bit-faithful bf16 path is the
+    # second field.
     import dataclasses
     pre_cfg = dataclasses.replace(cfg, flash_prefill=True)
 
@@ -131,11 +136,11 @@ def main() -> int:
         return nxt, kv
 
     prefill = jax.jit(prefill_step, donate_argnums=(2,))
-    prompt = jnp.asarray(
+    tokens = jnp.asarray(
         np.random.default_rng(0).integers(0, hp.n_vocab, (1, 512)), jnp.int32)
     kv2 = init_kv_cache(hp, 1, n_ctx, dtype=jnp.bfloat16)
     t0 = time.time()
-    first, kv2 = prefill(params, prompt, kv2)
+    first, kv2 = prefill(params, tokens, kv2)
     sync(first)
     log(f"prefill compiled+run in {time.time() - t0:.1f}s")
     ttfts = []
@@ -143,43 +148,40 @@ def main() -> int:
         kv2 = init_kv_cache(hp, 1, n_ctx, dtype=jnp.bfloat16)
         jax.block_until_ready(kv2)
         t0 = time.time()
-        first, kv2 = prefill(params, prompt, kv2)
+        first, kv2 = prefill(params, tokens, kv2)
         tok2, _, kv2 = step(params, first, jnp.int32(512), kv2)
         sync(tok2)
         ttfts.append((time.time() - t0 - floor) * 1e3)
     ttft_p50 = float(np.median(ttfts))
-    log(f"TTFT(512) trials: {[f'{t:.1f}' for t in ttfts]} ms -> p50 "
-        f"{ttft_p50:.1f} ms")
+    log(f"TTFT(512, default=int8) trials: {[f'{t:.1f}' for t in ttfts]} ms "
+        f"-> p50 {ttft_p50:.1f} ms")
 
-    # -- TTFT with the activation-quantized int8 prefill path -------------
-    # (~2x prefill MXU rate for ~0.5% bounded requant noise; the TPU
-    # analog of the reference's q8_0-activation matmuls. Reported as a
-    # separate field; the headline TTFT stays on the bit-faithful path.)
-    i8_cfg = dataclasses.replace(pre_cfg, prefill_int8=True)
+    # -- TTFT on the pinned bit-faithful bf16 dequant path ------------------
+    bf_cfg = dataclasses.replace(pre_cfg, prefill_int8=False)
 
-    def prefill_i8(params, tokens, kv):
-        logits, kv, _ = forward(params, tokens, jnp.int32(0), kv, i8_cfg)
+    def prefill_bf(params, tokens, kv):
+        logits, kv, _ = forward(params, tokens, jnp.int32(0), kv, bf_cfg)
         nxt = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)[:, None]
         return nxt, kv
 
-    prefill8 = jax.jit(prefill_i8, donate_argnums=(2,))
+    prefillb = jax.jit(prefill_bf, donate_argnums=(2,))
     kv2 = init_kv_cache(hp, 1, n_ctx, dtype=jnp.bfloat16)
     t0 = time.time()
-    first, kv2 = prefill8(params, prompt, kv2)
+    first, kv2 = prefillb(params, tokens, kv2)
     sync(first)
-    log(f"int8 prefill compiled+run in {time.time() - t0:.1f}s")
-    ttfts8 = []
+    log(f"bf16 prefill compiled+run in {time.time() - t0:.1f}s")
+    ttftsb = []
     for _ in range(5):
         kv2 = init_kv_cache(hp, 1, n_ctx, dtype=jnp.bfloat16)
         jax.block_until_ready(kv2)
         t0 = time.time()
-        first, kv2 = prefill8(params, prompt, kv2)
+        first, kv2 = prefillb(params, tokens, kv2)
         tok2, _, kv2 = step(params, first, jnp.int32(512), kv2)
         sync(tok2)
-        ttfts8.append((time.time() - t0 - floor) * 1e3)
-    ttft8_p50 = float(np.median(ttfts8))
-    log(f"TTFT(512, int8) trials: {[f'{t:.1f}' for t in ttfts8]} ms -> p50 "
-        f"{ttft8_p50:.1f} ms")
+        ttftsb.append((time.time() - t0 - floor) * 1e3)
+    ttftb_p50 = float(np.median(ttftsb))
+    log(f"TTFT(512, bf16) trials: {[f'{t:.1f}' for t in ttftsb]} ms -> p50 "
+        f"{ttftb_p50:.1f} ms")
 
     baseline = 10.0
     baseline_src = "estimate"
@@ -205,8 +207,9 @@ def main() -> int:
         "value": round(tps, 2),
         "unit": "tokens/s",
         "steady_state_tokens_per_sec": round(dev_tps, 2),
-        "ttft_ms_p50": round(ttft_p50, 1),
-        "ttft_ms_p50_int8": round(ttft8_p50, 1),
+        "ttft_ms_p50": round(ttft_p50, 1),      # default path (int8 prefill)
+        "ttft_ms_p50_int8": round(ttft_p50, 1),  # continuity with r4 field
+        "ttft_ms_p50_bf16": round(ttftb_p50, 1),
     }
     if baseline is not None:
         out["vs_baseline"] = round(tps / baseline, 2)

@@ -1046,6 +1046,13 @@ def pallas_shapes_supported(k: int, n: int, m: int = 8) -> bool:
 # that the MXU amortizes the in-kernel dequant.
 _PREFILL_MIN_M = 256
 _PREFILL_X_BYTES_MAX = 10 * 1024 * 1024
+# Rows per kernel invocation: M beyond this is row-chunked into independent
+# calls (outputs concatenate — no partial-sum traffic, unlike K parts).
+# 512 is the thoroughly measured configuration (79% of the int8 MXU ideal
+# at 7B dims); M=1024 single-call tiles OOM'd scoped VMEM by ~1 MB (the
+# out/acc tiles scale with M), and at prefill sizes the kernel is
+# MXU-bound, so chunking scales ~linearly.
+_PREFILL_CHUNK_M = 512
 
 
 def _prefill_kernel_enabled() -> bool:
@@ -1162,12 +1169,23 @@ def q4_matmul(x: jax.Array, w: QuantMatmulWeight, *,
     prefill = (prefill_size and _prefill_kernel_enabled()
                and (use_pallas or (use_pallas is None
                                    and jax.default_backend() == "tpu")))
+    # Dispatch crossover (measured same-day, 7B dims, round 5): the bf16
+    # resident-x kernel beats the XLA dequant path at M=512 (54.6 vs 71.1
+    # ms/step... now 51.6) and M=1024 (108.1 vs 123.3) but LOSES at M=2048
+    # (260.3 vs 246.2 — row-chunk concat + double k-parts overheads);
+    # the int8 path wins at every measured M (32.0/90.8/214.7 vs XLA's
+    # 71.1/123.3/246.2). Never hand XLA a loss: bf16 falls back above 1024.
+    if prefill and not use_int8 and m > 1024:
+        prefill = False
     if prefill:
         n_stored = w.qs.shape[1]
         itemsize = 1 if use_int8 else jnp.dtype(w_dtype).itemsize
-        parts = _prefill_k_parts(k_stored, m, itemsize)
-        if parts is not None and all(
-                prefill_shapes_supported(b - a, n_stored, m, itemsize)
+        m_run = (_PREFILL_CHUNK_M
+                 if m > _PREFILL_CHUNK_M and m % _PREFILL_CHUNK_M == 0
+                 else m)
+        parts = _prefill_k_parts(k_stored, m_run, itemsize)
+        if parts is not None and m_run <= _PREFILL_CHUNK_M and all(
+                prefill_shapes_supported(b - a, n_stored, m_run, itemsize)
                 for a, b in parts):
             fn = (q4_matmul_prefill_int8 if use_int8
                   else functools.partial(q4_matmul_prefill_pallas,
@@ -1177,12 +1195,22 @@ def q4_matmul(x: jax.Array, w: QuantMatmulWeight, *,
             # resident-x VMEM footprint (the byte budget assumes itemsize)
             # and the split's materialization copies
             xp = x2 if use_int8 else x2.astype(w_dtype)
-            y = None
-            for a, b in parts:
-                yp = fn(xp[:, a:b], w.qs[a // 2: b // 2],
-                        w.scales[a // QBLOCK: b // QBLOCK],
-                        interpret=interpret)
-                y = yp if y is None else y + yp
+
+            def run_rows(xr):
+                y = None
+                for a, b in parts:
+                    yp = fn(xr[:, a:b], w.qs[a // 2: b // 2],
+                            w.scales[a // QBLOCK: b // QBLOCK],
+                            interpret=interpret)
+                    y = yp if y is None else y + yp
+                return y
+
+            if m > _PREFILL_CHUNK_M and m % _PREFILL_CHUNK_M == 0:
+                y = jnp.concatenate(
+                    [run_rows(xp[i: i + _PREFILL_CHUNK_M])
+                     for i in range(0, m, _PREFILL_CHUNK_M)], axis=0)
+            else:
+                y = run_rows(xp)
             if y.shape[-1] != n_eff:
                 y = y[:, :n_eff]
             return y.reshape(*lead, n_eff)

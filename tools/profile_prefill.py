@@ -24,6 +24,10 @@ def main():
     ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("--layers", type=int, default=32)
     ap.add_argument("--out", default="/tmp/prof_prefill")
+    ap.add_argument("--mode", default="auto",
+                    choices=("auto", "int8", "bf16", "xla"),
+                    help="prefill path: int8 kernel / bf16 kernel / XLA "
+                         "dequant (auto = env defaults)")
     ap.add_argument("--msa-off", action="store_true",
                     help="apply the decode MSA-suppression compiler options "
                          "to the prefill jit (experiment)")
@@ -44,7 +48,12 @@ def main():
     params = _build_model(hp, n_ff=11008)
     jax.block_until_ready(params)
 
-    cfg = ForwardConfig(n_head=hp.n_head, n_rot=hp.n_rot, flash_prefill=True)
+    import os
+    pin = {"auto": None, "int8": True, "bf16": False, "xla": False}[args.mode]
+    if args.mode == "xla":
+        os.environ["FASTLLAMA_PREFILL_KERNEL"] = "0"
+    cfg = ForwardConfig(n_head=hp.n_head, n_rot=hp.n_rot, flash_prefill=True,
+                        prefill_int8=pin)
     tokens = jnp.asarray(
         np.random.default_rng(0).integers(0, 32000, (1, args.seq)), jnp.int32)
 
