@@ -29,6 +29,7 @@ def stall_bench(args, hp, params, vocab):
     from fastllama_tpu.config import RuntimeConfig
     from fastllama_tpu.engine.scheduler import BatchEngine, Request
 
+    from fastllama_tpu.engine.tokenizer import tokenize
     rcfg = RuntimeConfig(prefill_buckets=(16, 512), n_batch=64)
     eng = BatchEngine(hp, params, vocab, n_slots=args.slots,
                       n_ctx=args.n_ctx, rcfg=rcfg, temp=0.8,
@@ -38,7 +39,20 @@ def stall_bench(args, hp, params, vocab):
           f"{'chunked' if eng.chunked_admission else 'monolithic'}",
           flush=True)
 
-    big_prompt = " ".join(f"w{i % 700}" for i in range(400))
+    # build the big prompt to ~430 TOKENS (the toy vocab byte-tokenizes
+    # " wN" words at ~4.3 tokens each)
+    words = []
+    i = 0
+    while True:
+        words.append(f"w{i % 700}")
+        i += 1
+        if i % 8 == 0 and len(tokenize(
+                vocab, " " + " ".join(words), bos=True)) >= 430:
+            break
+    big_prompt = " ".join(words)
+    n_big = len(tokenize(vocab, " " + big_prompt, bos=True))
+    print(f"big prompt: {len(words)} words -> {n_big} tokens", flush=True)
+    assert n_big <= args.n_ctx - 4
 
     # warm all compile paths: short + big admission, decode
     t0 = _t.time()

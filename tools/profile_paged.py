@@ -24,9 +24,14 @@ def main():
     ap.add_argument("--layers", type=int, default=32)
     ap.add_argument("--n-ctx", type=int, default=512)
     ap.add_argument("--kv-mode", default="paged")
+    ap.add_argument("--page-size", type=int, default=64)
     ap.add_argument("--prompt-words", type=int, default=2,
                     help="prompt length in words (longer -> deeper cache "
                          "lengths during the profiled steps)")
+    ap.add_argument("--prompt-tokens", type=int, default=0,
+                    help="build the prompt to ~this many TOKENS (the toy "
+                         "vocab byte-tokenizes ' wN' words at ~4.3 tokens "
+                         "each; overrides --prompt-words)")
     args = ap.parse_args()
 
     import jax
@@ -48,22 +53,37 @@ def main():
     toks += [(f" w{i}".encode(), 1.0) for i in range(741)]
     vocab = Vocab.from_tokens(toks)
 
-    # bucket covers the requested prompt length (each " wN" word is one
-    # vocab token, +BOS) but must stay within n_ctx or admission rejects
+    n_words = args.prompt_words
+    if args.prompt_tokens:
+        from fastllama_tpu.engine.tokenizer import tokenize
+        words = []
+        i = 0
+        while True:
+            words.append(f"w{i % 700}")
+            i += 1
+            if i % 8 == 0 and len(tokenize(
+                    vocab, " " + " ".join(words), bos=True)) >= args.prompt_tokens:
+                break
+        n_words = len(words)
+        print(f"prompt: {n_words} words -> "
+              f"{len(tokenize(vocab, ' ' + ' '.join(words), bos=True))} tokens",
+              file=sys.stderr)
     rcfg = RuntimeConfig(prefill_buckets=(
-        min(args.n_ctx, max(16, args.prompt_words + 64)),))
+        min(args.n_ctx, max(16, n_words + 64)),))
     t0 = time.time()
     eng = BatchEngine(hp, params, vocab, n_slots=args.slots,
                       n_ctx=args.n_ctx, rcfg=rcfg, temp=0.8,
-                      kv_mode=args.kv_mode, drain_depth=10 ** 6,
-                      sampling_seed=0)
+                      kv_mode=args.kv_mode, page_size=args.page_size,
+                      drain_depth=10 ** 6, sampling_seed=0)
     reqs = [Request(prompt=" ".join(f"w{(i + j) % 700}"
-                                    for j in range(args.prompt_words)),
+                                    for j in range(n_words)),
                     max_tokens=10 ** 6)
             for i in range(args.slots)]
     for r in reqs:
         eng.submit(r)
     eng._fill_idle_slots()
+    assert all(s.live for s in eng.slots), (
+        "admission failed (prompt too long for n_ctx, or out of pages?)")
     # compile the decode step + warm
     for _ in range(6):
         eng._launch()
