@@ -546,8 +546,11 @@ def _q4mm_prefill_nat_kernel(x_ref, qs_ref, sc_ref, out_ref, *,
     no split_activation planes, no bsum reduce. One MXU dot per k step.
     The interleave + subtract are VPU work per WEIGHT tile, amortized over
     all M rows (measured free at M=512: int8 nat == split, 172.8 vs
-    172.5 us/call)."""
-    k_idx = pl.program_id(1)
+    172.5 us/call). Grid (M/mc, N/bn, K/bk): rows are chunked INSIDE the
+    grid (x block [mc, K] per row-chunk) so large M needs no host-side
+    chunk/concat pass (round 5: the concat materialized the fused w13
+    output, ~8.4 ms/step at T=1024)."""
+    k_idx = pl.program_id(2)
 
     @pl.when(k_idx == 0)
     def _():
@@ -587,16 +590,20 @@ def q4_matmul_prefill_pallas(x: jax.Array, qs: jax.Array, scales: jax.Array,
     m, k = x.shape
     kh, n = qs.shape
     assert kh * 2 == k, (x.shape, qs.shape)
+    # rows are chunked inside the grid: the RESIDENT x block covers mc rows
+    mc = m if m <= _PREFILL_CHUNK_M else _PREFILL_CHUNK_M
+    assert m % mc == 0, (m, mc)
     # itemsize of the RESIDENT x operand (callers cast to w_dtype before the
     # call) — must match what prefill_shapes_supported validated
-    bn = block_n or _pick_tile(n, cap=_prefill_bn(m, k, x.dtype.itemsize))
+    bn = block_n or _pick_tile(n, cap=_prefill_bn(mc, k, x.dtype.itemsize,
+                                                  chunked=m > mc))
     bk = block_k or _pick_tile_k(k, cap=2048)
     bkh = bk // 2
-    grid = (n // bn, k // bk)
+    grid = (m // mc, n // bn, k // bk)
 
-    qs_spec = pl.BlockSpec((bkh, bn), lambda i, kk: (kk, i),
+    qs_spec = pl.BlockSpec((bkh, bn), lambda mi, i, kk: (kk, i),
                            memory_space=pltpu.VMEM)
-    sc_spec = pl.BlockSpec((bk // QBLOCK, bn), lambda i, kk: (kk, i),
+    sc_spec = pl.BlockSpec((bk // QBLOCK, bn), lambda mi, i, kk: (kk, i),
                            memory_space=pltpu.VMEM)
     cost = pl.CostEstimate(
         flops=2 * m * n * k,
@@ -605,11 +612,11 @@ def q4_matmul_prefill_pallas(x: jax.Array, qs: jax.Array, scales: jax.Array,
     )
     common = dict(
         grid=grid,
-        out_specs=pl.BlockSpec((m, bn), lambda i, kk: (0, i),
+        out_specs=pl.BlockSpec((mc, bn), lambda mi, i, kk: (mi, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=cost,
         interpret=interpret,
@@ -617,8 +624,8 @@ def q4_matmul_prefill_pallas(x: jax.Array, qs: jax.Array, scales: jax.Array,
 
     if variant == "nat":
         # x passes UNSPLIT and as-is (no split planes, no bsum reduce);
-        # the full [M, K] block with a constant index_map stays resident.
-        x_spec = pl.BlockSpec((m, k), lambda i, kk: (0, 0),
+        # the [mc, K] row-chunk block stays resident across its n/k cells.
+        x_spec = pl.BlockSpec((mc, k), lambda mi, i, kk: (mi, 0),
                               memory_space=pltpu.VMEM)
         kernel = functools.partial(_q4mm_prefill_nat_kernel,
                                    w_dtype=w_dtype, bk=bk)
@@ -626,9 +633,23 @@ def q4_matmul_prefill_pallas(x: jax.Array, qs: jax.Array, scales: jax.Array,
             kernel, in_specs=[x_spec, qs_spec, sc_spec], **common,
         )(x, qs, scales)
 
+    # legacy "split" variant (round-3/4 A/B reference): 2D grid, whole-M
+    # resident halves — m <= _PREFILL_CHUNK_M only
+    assert m == mc, ("the split variant predates in-grid row chunking; "
+                     "use variant='nat' for large M")
     x_lo, x_hi = split_activation(x)
     bsum = x.astype(jnp.float32).reshape(m, k // QBLOCK, QBLOCK).sum(-1).T
 
+    common["grid"] = (n // bn, k // bk)
+    common["out_specs"] = pl.BlockSpec((m, bn), lambda i, kk: (0, i),
+                                       memory_space=pltpu.VMEM)
+    common["compiler_params"] = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "arbitrary"),
+        vmem_limit_bytes=_VMEM_LIMIT)
+    qs_spec = pl.BlockSpec((bkh, bn), lambda i, kk: (kk, i),
+                           memory_space=pltpu.VMEM)
+    sc_spec = pl.BlockSpec((bk // QBLOCK, bn), lambda i, kk: (kk, i),
+                           memory_space=pltpu.VMEM)
     # x_lo/x_hi blocks are the FULL arrays with a constant index_map: Mosaic
     # fetches them once and keeps them resident across every grid cell.
     x_spec = pl.BlockSpec((m, kh), lambda i, kk: (0, 0),
@@ -795,8 +816,9 @@ def _q4mm_prefill_int8_strip_kernel(xq_ref, dx_ref, qs_ref, strip_ref,
     per-k streaming did, once per n tile. sc * (1/s8) (reciprocal computed
     once at k==0) replaces sc/s8 — <=1 ulp from the divide, mirrored
     exactly by the CPU emulation. Natural-order weight interleave and the
-    i32 scratch accumulator as before."""
-    k_idx = pl.program_id(1)
+    i32 scratch accumulator as before; grid (M/mc, N/bn, K/bk) with rows
+    chunked inside the grid (see _q4mm_prefill_nat_kernel)."""
+    k_idx = pl.program_id(2)
 
     @pl.when(k_idx == 0)
     def _():
@@ -842,16 +864,19 @@ def q4_matmul_prefill_int8(x: jax.Array, qs: jax.Array, scales: jax.Array,
     m, k = x.shape
     kh, n = qs.shape
     assert kh * 2 == k, (x.shape, qs.shape)
-    # resident x is the int8 plane: itemsize 1 (the float input is
-    # quantized before the pallas_call below)
-    bn = block_n or _pick_tile(n, cap=_prefill_bn(m, k, 1))
+    # rows are chunked inside the grid; resident x is the int8 plane
+    # (itemsize 1 — the float input is quantized before the pallas_call)
+    mc = m if m <= _PREFILL_CHUNK_M else _PREFILL_CHUNK_M
+    assert m % mc == 0, (m, mc)
+    bn = block_n or _pick_tile(n, cap=_prefill_bn(mc, k, 1,
+                                                  chunked=m > mc))
     bk = block_k or _pick_tile_k(k, cap=2048)
     bkh = bk // 2
-    grid = (n // bn, k // bk)
+    grid = (m // mc, n // bn, k // bk)
 
-    dx_spec = pl.BlockSpec((m, 1), lambda i, kk: (0, 0),
+    dx_spec = pl.BlockSpec((mc, 1), lambda mi, i, kk: (mi, 0),
                            memory_space=pltpu.VMEM)
-    qs_spec = pl.BlockSpec((bkh, bn), lambda i, kk: (kk, i),
+    qs_spec = pl.BlockSpec((bkh, bn), lambda mi, i, kk: (kk, i),
                            memory_space=pltpu.VMEM)
     cost = pl.CostEstimate(
         flops=2 * m * n * k,
@@ -860,11 +885,11 @@ def q4_matmul_prefill_int8(x: jax.Array, qs: jax.Array, scales: jax.Array,
     )
     common = dict(
         grid=grid,
-        out_specs=pl.BlockSpec((m, bn), lambda i, kk: (0, i),
+        out_specs=pl.BlockSpec((mc, bn), lambda mi, i, kk: (mi, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=cost,
         interpret=interpret,
@@ -883,16 +908,17 @@ def q4_matmul_prefill_int8(x: jax.Array, qs: jax.Array, scales: jax.Array,
                                      keepdims=True), 1e-20) / 127.0
             xq = jnp.clip(jnp.round(xf / dx), -127, 127).astype(jnp.int8)
             dx2 = dx
-        x_spec = pl.BlockSpec((m, k), lambda i, kk: (0, 0),
+        x_spec = pl.BlockSpec((mc, k), lambda mi, i, kk: (mi, 0),
                               memory_space=pltpu.VMEM)
-        strip_spec = pl.BlockSpec((k // QBLOCK, bn), lambda i, kk: (0, i),
+        strip_spec = pl.BlockSpec((k // QBLOCK, bn),
+                                  lambda mi, i, kk: (0, i),
                                   memory_space=pltpu.VMEM)
         kernel = functools.partial(_q4mm_prefill_int8_strip_kernel, bk=bk,
                                    nk=k // bk)
         return pl.pallas_call(
             kernel,
             in_specs=[x_spec, dx_spec, qs_spec, strip_spec],
-            scratch_shapes=[pltpu.VMEM((m, bn), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((mc, bn), jnp.int32),
                             pltpu.VMEM((1, bn), jnp.float32),
                             pltpu.VMEM((1, bn), jnp.float32)],
             **common,
@@ -900,12 +926,25 @@ def q4_matmul_prefill_int8(x: jax.Array, qs: jax.Array, scales: jax.Array,
 
     # Round-4 revisions, kept for A/B: "natx" = natural-order kernel with
     # the XLA-side quant chain + normalized scale plane; "split" = split-K
-    # int8 halves as two operands.
+    # int8 halves as two operands. Both predate in-grid row chunking:
+    # 2D grid, whole-M resident.
+    assert m == mc, ("natx/split variants support m <= _PREFILL_CHUNK_M; "
+                     "use variant='nat' for large M")
     s8 = jnp.maximum(jnp.max(jnp.abs(scales), axis=0) * (8.0 / 127.0), 1e-20)
     sc_norm = scales / s8[None, :]
     xf = x.astype(jnp.float32)
     dx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-20) / 127.0
 
+    common["grid"] = (n // bn, k // bk)
+    common["out_specs"] = pl.BlockSpec((m, bn), lambda i, kk: (0, i),
+                                       memory_space=pltpu.VMEM)
+    common["compiler_params"] = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "arbitrary"),
+        vmem_limit_bytes=_VMEM_LIMIT)
+    dx_spec = pl.BlockSpec((m, 1), lambda i, kk: (0, 0),
+                           memory_space=pltpu.VMEM)
+    qs_spec = pl.BlockSpec((bkh, bn), lambda i, kk: (kk, i),
+                           memory_space=pltpu.VMEM)
     s8_spec = pl.BlockSpec((1, bn), lambda i, kk: (0, i),
                            memory_space=pltpu.VMEM)
     sc_spec = pl.BlockSpec((bk // QBLOCK, bn), lambda i, kk: (kk, i),
@@ -1079,6 +1118,14 @@ def _prefill_kernel_enabled() -> bool:
 _PREFILL_INT8_DEFAULT = True
 
 
+def _bf16_prefill_max_m() -> int:
+    """Crossover bound for the bf16 resident-x kernel vs the XLA dequant
+    path (measured round 5; FASTLLAMA_BF16_PREFILL_MAX_M re-opens the
+    experiment)."""
+    import os
+    return int(os.environ.get("FASTLLAMA_BF16_PREFILL_MAX_M", "2048"))
+
+
 def _prefill_int8_enabled(w_dtype=jnp.bfloat16) -> bool:
     """FASTLLAMA_PREFILL_INT8=1/0 force the activation-quantized int8
     prefill path on/off (2x MXU rate, ~0.4% bounded requant noise on
@@ -1091,30 +1138,44 @@ def _prefill_int8_enabled(w_dtype=jnp.bfloat16) -> bool:
     return _PREFILL_INT8_DEFAULT and jnp.dtype(w_dtype) != jnp.float32
 
 
-def _prefill_bn(m: int, k: int, itemsize: int = 2) -> int:
+def _prefill_bn(m: int, k: int, itemsize: int = 2,
+                chunked: bool = False) -> int:
     """N tile for the prefill kernel: 512 normally; 256 when the resident
-    x already eats most of the VMEM budget (w2-size K after the k-split)."""
-    return 256 if m * k * itemsize > 6 * 1024 * 1024 else 512
+    x already eats most of the VMEM budget (w2-size K after the k-split).
+    In-grid row chunking (chunked=True, mg > 1) double-buffers the
+    resident block across row chunks, so the threshold halves (the
+    (mc=512, K=11264, bn=512) tile set measured 16.64M scoped — 656K
+    over — at mg=2 while fitting at mg=1)."""
+    lim = (4 if chunked else 6) * 1024 * 1024
+    return 256 if m * k * itemsize > lim else 512
 
 
 def prefill_shapes_supported(k: int, n: int, m: int,
-                             itemsize: int = 2) -> bool:
+                             itemsize: int = 2,
+                             chunked: bool = False) -> bool:
     if m % 8 or m * k * itemsize > _PREFILL_X_BYTES_MAX:
         return False
-    bn = _pick_tile(n, cap=_prefill_bn(m, k, itemsize))
+    bn = _pick_tile(n, cap=_prefill_bn(m, k, itemsize, chunked))
     bk = _pick_tile_k(k, cap=2048)
     return (bn % 128 == 0 or bn == n) and bk % 256 == 0 and k % bk == 0
 
 
-def _prefill_k_parts(k_stored: int, m: int,
-                     itemsize: int) -> tuple[tuple[int, int], ...] | None:
+def _prefill_k_parts(k_stored: int, m: int, itemsize: int,
+                     chunked: bool = False
+                     ) -> tuple[tuple[int, int], ...] | None:
     """K ranges for the resident-x prefill kernel such that each part's
     x slice fits the VMEM byte budget (round-4: 7B's w2 K=11264 at M=512
     bf16 is 11.5 MB > 10 — it fell back to the XLA dequant path, ~14 ms of
     the 47 ms int8-prefill step). Boundaries stay multiples of 2048 so each
     part keeps large bk tiles; None when even a 2048-deep slice is over
     budget (caller falls back to XLA)."""
-    budget_k = _PREFILL_X_BYTES_MAX // max(m * itemsize, 1)
+    # in-grid row chunking double-buffers the resident block across row
+    # chunks: a (mc=512, K=10240) bf16 part measured 21.6M scoped at mg=2,
+    # and a 6 MB budget still left a (512, 6144) bf16 part 350K over.
+    # 5.5 MiB admits exactly the proven (512, K=11264) int8 single-part w2
+    # (5767168 bytes) while pushing bf16 K-parts down to <=4096.
+    budget = (11 * 1024 * 1024) // 2 if chunked else _PREFILL_X_BYTES_MAX
+    budget_k = budget // max(m * itemsize, 1)
     if k_stored * 1 <= 0 or budget_k < 2048:
         return None
     if k_stored % 256:
@@ -1123,7 +1184,7 @@ def _prefill_k_parts(k_stored: int, m: int,
     a = 0
     while a < k_stored:
         rem = k_stored - a
-        if rem * m * itemsize <= _PREFILL_X_BYTES_MAX:
+        if rem * m * itemsize <= budget:
             step = rem
         else:
             step = (budget_k // 2048) * 2048
@@ -1169,13 +1230,15 @@ def q4_matmul(x: jax.Array, w: QuantMatmulWeight, *,
     prefill = (prefill_size and _prefill_kernel_enabled()
                and (use_pallas or (use_pallas is None
                                    and jax.default_backend() == "tpu")))
-    # Dispatch crossover (measured same-day, 7B dims, round 5): the bf16
-    # resident-x kernel beats the XLA dequant path at M=512 (54.6 vs 71.1
-    # ms/step... now 51.6) and M=1024 (108.1 vs 123.3) but LOSES at M=2048
-    # (260.3 vs 246.2 — row-chunk concat + double k-parts overheads);
-    # the int8 path wins at every measured M (32.0/90.8/214.7 vs XLA's
-    # 71.1/123.3/246.2). Never hand XLA a loss: bf16 falls back above 1024.
-    if prefill and not use_int8 and m > 1024:
+    # Dispatch crossover (measured same-day, 7B dims, round 5, with
+    # in-grid row chunking): the bf16 resident-x kernel beats the XLA
+    # dequant path at every measured M — 51.6/110.6/236.3 ms/step vs
+    # XLA's 71.1/123.3/246.2 at M=512/1024/2048 — but the margin shrinks
+    # with M (1.38x -> 1.11x -> 1.04x: chunked k-parts pay partial-sum
+    # adds while XLA's dense dequant amortizes). Beyond the measured
+    # range the trend would cross: bf16 falls back to XLA above 2048.
+    # The int8 path wins big everywhere (32.0/86.1/198.3).
+    if prefill and not use_int8 and m > _bf16_prefill_max_m():
         prefill = False
     if prefill:
         n_stored = w.qs.shape[1]
@@ -1183,9 +1246,11 @@ def q4_matmul(x: jax.Array, w: QuantMatmulWeight, *,
         m_run = (_PREFILL_CHUNK_M
                  if m > _PREFILL_CHUNK_M and m % _PREFILL_CHUNK_M == 0
                  else m)
-        parts = _prefill_k_parts(k_stored, m_run, itemsize)
+        parts = _prefill_k_parts(k_stored, m_run, itemsize,
+                                 chunked=m > m_run)
         if parts is not None and m_run <= _PREFILL_CHUNK_M and all(
-                prefill_shapes_supported(b - a, n_stored, m_run, itemsize)
+                prefill_shapes_supported(b - a, n_stored, m_run, itemsize,
+                                         chunked=m > m_run)
                 for a, b in parts):
             fn = (q4_matmul_prefill_int8 if use_int8
                   else functools.partial(q4_matmul_prefill_pallas,
@@ -1195,22 +1260,16 @@ def q4_matmul(x: jax.Array, w: QuantMatmulWeight, *,
             # resident-x VMEM footprint (the byte budget assumes itemsize)
             # and the split's materialization copies
             xp = x2 if use_int8 else x2.astype(w_dtype)
-
-            def run_rows(xr):
-                y = None
-                for a, b in parts:
-                    yp = fn(xr[:, a:b], w.qs[a // 2: b // 2],
-                            w.scales[a // QBLOCK: b // QBLOCK],
-                            interpret=interpret)
-                    y = yp if y is None else y + yp
-                return y
-
-            if m > _PREFILL_CHUNK_M and m % _PREFILL_CHUNK_M == 0:
-                y = jnp.concatenate(
-                    [run_rows(xp[i: i + _PREFILL_CHUNK_M])
-                     for i in range(0, m, _PREFILL_CHUNK_M)], axis=0)
-            else:
-                y = run_rows(xp)
+            # rows beyond _PREFILL_CHUNK_M are chunked INSIDE the kernel
+            # grid (m dimension with per-chunk resident x) — no host-side
+            # chunk/concat pass (the concat materialized the fused w13
+            # output, ~8.4 ms/step at T=1024)
+            y = None
+            for a, b in parts:
+                yp = fn(xp[:, a:b], w.qs[a // 2: b // 2],
+                        w.scales[a // QBLOCK: b // QBLOCK],
+                        interpret=interpret)
+                y = yp if y is None else y + yp
             if y.shape[-1] != n_eff:
                 y = y[:, :n_eff]
             return y.reshape(*lead, n_eff)
