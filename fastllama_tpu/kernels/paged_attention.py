@@ -112,11 +112,12 @@ def _paged_attn_kernel(lens_ref, tables_ref, q_ref, kp_ref, vp_ref, o_ref,
 _VMEM_BUDGET = 12 << 20
 
 
-def paged_attn_group(h: int, pp: int, ps: int, d: int, itemsize: int):
+def paged_attn_group(h: int, pp: int, ps: int, d: int, itemsize: int,
+                     banks: int = 1):
     """Heads per grid cell: the largest divisor of h whose K+V scratch
-    windows ([g, pp*ps, d] each) fit the budget; None when even g=1
-    doesn't (callers fall back to the library kernel)."""
-    per_head = 2 * pp * ps * d * itemsize
+    windows (banks x [g, pp*ps, d] each) fit the budget; None when even
+    g=1 doesn't (callers fall back to the library kernel)."""
+    per_head = banks * 2 * pp * ps * d * itemsize
     for g in range(h, 0, -1):
         if h % g == 0 and per_head * g <= _VMEM_BUDGET:
             return g
@@ -129,6 +130,203 @@ def paged_attn_supported(h: int, pp: int, ps: int, d: int,
     scratch rows land at j*ps sublane offsets), and a fitting head group."""
     return (d % 128 == 0 and ps % 8 == 0
             and paged_attn_group(h, pp, ps, d, itemsize) is not None)
+
+
+def _paged_attn_db_kernel(lens_ref, tables_ref, q_ref, kp_ref, vp_ref,
+                          o_ref, k_scr, v_scr, sems, *, scale, ps, pp,
+                          g, ng):
+    """Double-buffered variant: each cell prefetches the NEXT cell's pages
+    into the other scratch bank before computing, so the page gather
+    overlaps the softmax/dot chain instead of serializing with it (the
+    single-buffer kernel start-all/wait-all/compute pattern leaves the
+    DMA engine idle during compute and the MXU idle during the gather —
+    measured 134.5 vs ~96 us/call for the slab window kernel at the same
+    bytes, 7B B=8 full occupancy; a flat-lane pool layout A/B refuted the
+    strided-gather theory at 2%)."""
+    b = pl.program_id(0)
+    gi = pl.program_id(1)
+    c = b * ng + gi
+    nc = pl.num_programs(0) * ng
+
+    @pl.when(c == 0)
+    def _():
+        # first-cell scratch sanitation of BOTH banks — see
+        # _paged_attn_kernel for the NaN rationale; the grid is declared
+        # fully "arbitrary" (sequential), so first-cell-only is sound
+        k_scr[...] = jnp.zeros_like(k_scr)
+        v_scr[...] = jnp.zeros_like(v_scr)
+
+    def dma(ci, j, which):
+        bb = ci // ng
+        h0 = (ci % ng) * g
+        bank = ci % 2
+        pid = tables_ref[bb * pp + j]
+        src = kp_ref if which == 0 else vp_ref
+        dst = k_scr if which == 0 else v_scr
+        return pltpu.make_async_copy(
+            src.at[pl.ds(h0, g), pid],
+            dst.at[bank, :, pl.ds(j * ps, ps), :],
+            sems.at[bank, which])
+
+    def npages_of(ci):
+        slen = lens_ref[ci // ng]
+        return jnp.minimum(jax.lax.div(slen + ps - 1, ps), pp)
+
+    def start_cell(ci):
+        def start(j, _):
+            dma(ci, j, 0).start()
+            dma(ci, j, 1).start()
+            return 0
+        jax.lax.fori_loop(0, npages_of(ci), start, 0)
+
+    @pl.when(c == 0)
+    def _():
+        start_cell(0)
+
+    @pl.when(c + 1 < nc)
+    def _():
+        start_cell(c + 1)
+
+    def wait(j, _):
+        dma(c, j, 0).wait()
+        dma(c, j, 1).wait()
+        return 0
+
+    jax.lax.fori_loop(0, npages_of(c), wait, 0)
+
+    bank = c % 2
+    slen = lens_ref[b]
+    kd = k_scr.dtype
+    q_mx = q_ref[0].astype(kd)                         # [g, d]
+    for hi in range(g):
+        k = k_scr[bank, hi]                            # [S, d]
+        scores = jax.lax.dot_general(
+            q_mx[hi:hi + 1], k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale    # [1, S]
+        pos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        mask = pos < slen
+        scores = jnp.where(mask, scores, jnp.float32(-1e30))
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.where(mask, jnp.exp(scores - m), 0.0)
+        l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+        v = v_scr[bank, hi]
+        ctx = jax.lax.dot_general(
+            p.astype(kd), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [1, d]
+        o_ref[0, hi:hi + 1, :] = ctx / l
+
+
+def _paged_attn_flat_kernel(lens_ref, tables_ref, q_ref, kp_ref, vp_ref,
+                            o_ref, k_scr, v_scr, sems, *, scale, ps, pp,
+                            g, d):
+    """Flat-lane pool variant: pools are [P, ps, F] (heads flat in lanes,
+    the slab cache's layout), so each page gather is ONE contiguous
+    [ps, g*d] DMA instead of g strided [ps, d] segments. MEASURED A/B
+    (round 5, 7B B=8): 132.2 vs 134.5 us/call at L=448 — the strided
+    gather costs ~2%, refuting the layout as the paged-vs-slab gap; kept
+    as the experiment's record."""
+    b = pl.program_id(0)
+    gi = pl.program_id(1)
+    slen = lens_ref[b]
+    npages = jnp.minimum(jax.lax.div(slen + ps - 1, ps), pp)
+
+    @pl.when((b == 0) & (gi == 0))
+    def _():
+        # first-cell scratch sanitation — see _paged_attn_kernel
+        k_scr[...] = jnp.zeros_like(k_scr)
+        v_scr[...] = jnp.zeros_like(v_scr)
+
+    def dma(j, which):
+        pid = tables_ref[b * pp + j]
+        src = kp_ref if which == 0 else vp_ref
+        dst = k_scr if which == 0 else v_scr
+        return pltpu.make_async_copy(
+            src.at[pid, :, pl.ds(gi * g * d, g * d)],
+            dst.at[pl.ds(j * ps, ps), :],
+            sems.at[which])
+
+    def start(j, c):
+        dma(j, 0).start()
+        dma(j, 1).start()
+        return c
+
+    jax.lax.fori_loop(0, npages, start, 0)
+
+    def wait(j, c):
+        dma(j, 0).wait()
+        dma(j, 1).wait()
+        return c
+
+    jax.lax.fori_loop(0, npages, wait, 0)
+
+    kd = k_scr.dtype
+    q_mx = q_ref[0].astype(kd)                         # [g, d]
+    for hi in range(g):
+        k = k_scr[:, hi * d:(hi + 1) * d]              # [S, d]
+        scores = jax.lax.dot_general(
+            q_mx[hi:hi + 1], k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale    # [1, S]
+        pos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        mask = pos < slen
+        scores = jnp.where(mask, scores, jnp.float32(-1e30))
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.where(mask, jnp.exp(scores - m), 0.0)
+        l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+        v = v_scr[:, hi * d:(hi + 1) * d]
+        ctx = jax.lax.dot_general(
+            p.astype(kd), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # [1, d]
+        o_ref[0, hi:hi + 1, :] = ctx / l
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "group_size"))
+def paged_decode_attention_flat(q: jax.Array, k_pages: jax.Array,
+                                v_pages: jax.Array, lengths: jax.Array,
+                                page_indices: jax.Array, *,
+                                group_size: int = 0,
+                                interpret: bool = False) -> jax.Array:
+    """ctx[B, H, D] over FLAT-LANE pools [P, ps, H*D] (heads in lanes).
+
+    Same numerical contract as paged_decode_attention; the pool layout is
+    the slab cache's ([B, S, H*Dh] per row), so a page row is contiguous
+    and TP shards the lane dim exactly like the slab KV spec."""
+    b, h, d = q.shape
+    p, ps, f = k_pages.shape
+    assert f == h * d, (q.shape, k_pages.shape)
+    pp = page_indices.shape[1]
+    scale = 1.0 / math.sqrt(d)
+    lengths = jnp.asarray(lengths, jnp.int32).reshape(b)
+    tables = jnp.asarray(page_indices, jnp.int32).reshape(b * pp)
+
+    g = group_size or paged_attn_group(
+        h, pp, ps, d, jnp.dtype(k_pages.dtype).itemsize)
+    assert g is not None, "caller must gate on paged_attn_supported"
+    ng = h // g
+
+    kernel = functools.partial(_paged_attn_flat_kernel, scale=scale, ps=ps,
+                               pp=pp, g=g, d=d)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            in_specs=[
+                pl.BlockSpec((1, g, d), lambda bi, gi, *_: (bi, gi, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, g, d), lambda bi, gi, *_: (bi, gi, 0)),
+            grid=(b, ng),
+            scratch_shapes=[
+                pltpu.VMEM((pp * ps, g * d), k_pages.dtype),
+                pltpu.VMEM((pp * ps, g * d), v_pages.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, d), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(lengths, tables, q, k_pages, v_pages)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "group_size"))
@@ -156,8 +354,42 @@ def paged_decode_attention(q: jax.Array, k_pages: jax.Array,
     lengths = jnp.asarray(lengths, jnp.int32).reshape(b)
     tables = jnp.asarray(page_indices, jnp.int32).reshape(b * pp)
 
-    g = group_size or paged_attn_group(
-        h, pp, ps, d, jnp.dtype(k_pages.dtype).itemsize)
+    itemsize = jnp.dtype(k_pages.dtype).itemsize
+    g_db = None if group_size else paged_attn_group(h, pp, ps, d, itemsize,
+                                                    banks=2)
+    if g_db is not None:
+        # double-buffered page gather: next cell's pages prefetch during
+        # this cell's compute (134.5 -> measured-below us/call at 7B B=8
+        # full occupancy)
+        ng = h // g_db
+        kernel = functools.partial(_paged_attn_db_kernel, scale=scale,
+                                   ps=ps, pp=pp, g=g_db, ng=ng)
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                in_specs=[
+                    pl.BlockSpec((1, g_db, d),
+                                 lambda bi, gi, *_: (bi, gi, 0)),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                ],
+                out_specs=pl.BlockSpec((1, g_db, d),
+                                       lambda bi, gi, *_: (bi, gi, 0)),
+                grid=(b, ng),
+                scratch_shapes=[
+                    pltpu.VMEM((2, g_db, pp * ps, d), k_pages.dtype),
+                    pltpu.VMEM((2, g_db, pp * ps, d), v_pages.dtype),
+                    pltpu.SemaphoreType.DMA((2, 2)),
+                ],
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, h, d), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary")),
+            interpret=interpret,
+        )(lengths, tables, q, k_pages, v_pages)
+
+    g = group_size or paged_attn_group(h, pp, ps, d, itemsize)
     assert g is not None, "caller must gate on paged_attn_supported"
     ng = h // g
 
