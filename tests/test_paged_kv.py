@@ -208,3 +208,26 @@ def test_paged_engine_applies_lora(tiny_model):
         return [r.tokens_out for r in res]
 
     assert run("paged") == run("slab")
+
+
+def test_paged_attention_double_buffer_matches_single():
+    """The double-buffered page-gather kernel (default when two scratch
+    banks fit VMEM) is bit-identical to the single-buffer path (round-5
+    kernel; the banks alternate per grid cell)."""
+    import jax.numpy as jnp
+    from fastllama_tpu.kernels.paged_attention import (
+        paged_attn_group, paged_decode_attention)
+    rng = np.random.default_rng(0)
+    b, h, d, ps, pp = 4, 8, 128, 16, 4
+    p = b * pp + 1
+    kp = jnp.asarray(rng.standard_normal((h, p, ps, d)).astype(np.float32) * .3)
+    vp = jnp.asarray(rng.standard_normal((h, p, ps, d)).astype(np.float32) * .3)
+    q = jnp.asarray(rng.standard_normal((b, h, d)).astype(np.float32))
+    lengths = jnp.asarray(np.array([5, 16, 33, 64], np.int32))
+    tables = jnp.asarray(np.arange(b * pp, dtype=np.int32).reshape(b, pp))
+    assert paged_attn_group(h, pp, ps, d, 4, banks=2) is not None
+    y_db = paged_decode_attention(q, kp, vp, lengths, tables, interpret=True)
+    y_sb = paged_decode_attention(q, kp, vp, lengths, tables, group_size=8,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(y_db), np.asarray(y_sb),
+                               rtol=1e-6, atol=1e-6)

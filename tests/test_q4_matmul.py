@@ -183,3 +183,27 @@ def test_prefill_int8_kernel_matches_emulation():
         variant="nat"))
     y_e = np.asarray(q4_matmul_int8_xla(x, w.qs, w.scales))
     np.testing.assert_allclose(y_k, y_e, rtol=1e-6, atol=1e-6)
+
+
+def test_prefill_in_grid_row_chunking_matches_oracle():
+    """M > _PREFILL_CHUNK_M runs with an m grid dimension (per-chunk
+    resident x) — outputs must equal the oracle across the chunk boundary
+    (round-5 kernels; exercise mg=2 via a monkeypatched chunk bound is not
+    needed: block overrides keep the interpret shapes small)."""
+    from fastllama_tpu.kernels import q4_matmul as qm
+    import unittest.mock as mock
+    x, w, y_ref = _setup(256, 512, 256)
+    with mock.patch.object(qm, "_PREFILL_CHUNK_M", 128):
+        # bf16-path kernel in f32 mode: exact vs oracle, mg=2
+        y = qm.q4_matmul_prefill_pallas(x, w.qs, w.scales, interpret=True,
+                                        w_dtype=jnp.float32, block_n=128,
+                                        block_k=256, variant="nat")
+        np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-5,
+                                   atol=2e-4)
+        # int8 strip kernel, mg=2: matches the single-grid emulation
+        y8 = qm.q4_matmul_prefill_int8(x, w.qs, w.scales, interpret=True,
+                                       block_n=128, block_k=256,
+                                       variant="nat")
+        y8e = qm.q4_matmul_int8_xla(x, w.qs, w.scales)
+        np.testing.assert_allclose(np.asarray(y8), np.asarray(y8e),
+                                   rtol=1e-6, atol=1e-6)
