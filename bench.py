@@ -128,7 +128,9 @@ def main() -> int:
     # TTFT is the default path and the bit-faithful bf16 path is the
     # second field.
     import dataclasses
-    pre_cfg = dataclasses.replace(cfg, flash_prefill=True)
+    # pin the path explicitly: the headline/ttft_ms_p50_int8 fields must
+    # stay truthful even if FASTLLAMA_PREFILL_INT8=0 is exported
+    pre_cfg = dataclasses.replace(cfg, flash_prefill=True, prefill_int8=True)
 
     def prefill_step(params, tokens, kv):
         logits, kv, _ = forward(params, tokens, jnp.int32(0), kv, pre_cfg)

@@ -1126,6 +1126,13 @@ def _bf16_prefill_max_m() -> int:
     return int(os.environ.get("FASTLLAMA_BF16_PREFILL_MAX_M", "2048"))
 
 
+def _prefill_int8_forced() -> bool:
+    """True when FASTLLAMA_PREFILL_INT8=1 explicitly forces the int8 path
+    (honored on any backend, via the exact emulation if need be)."""
+    import os
+    return os.environ.get("FASTLLAMA_PREFILL_INT8") == "1"
+
+
 def _prefill_int8_enabled(w_dtype=jnp.bfloat16) -> bool:
     """FASTLLAMA_PREFILL_INT8=1/0 force the activation-quantized int8
     prefill path on/off (2x MXU rate, ~0.4% bounded requant noise on
@@ -1224,12 +1231,22 @@ def q4_matmul(x: jax.Array, w: QuantMatmulWeight, *,
     # Large-M (prefill) path: resident-x fused kernel. Only q4_0 (mins-free)
     # weights; q4_1/GPTQ prefill stays on the XLA path.
     prefill_size = m >= _PREFILL_MIN_M and w.mins is None
+    # int8 FORCED (explicit config True, or FASTLLAMA_PREFILL_INT8=1) means
+    # int8 semantics on any backend (the exact XLA emulation stands in when
+    # the kernel path isn't taken — CPU quality tests rely on it). The
+    # silent DEFAULT-on only rides the kernel dispatch: the escape hatches
+    # (FASTLLAMA_PREFILL_KERNEL=0, use_pallas=False) keep meaning the
+    # bit-faithful XLA dequant they always meant.
+    int8_forced = (bool(prefill_int8) if prefill_int8 is not None
+                   else _prefill_int8_forced())
     use_int8 = prefill_size and (
-        _prefill_int8_enabled(w_dtype) if prefill_int8 is None
-        else bool(prefill_int8))
+        int8_forced or (prefill_int8 is None
+                        and _prefill_int8_enabled(w_dtype)))
     prefill = (prefill_size and _prefill_kernel_enabled()
                and (use_pallas or (use_pallas is None
                                    and jax.default_backend() == "tpu")))
+    if use_int8 and not int8_forced and not prefill:
+        use_int8 = False
     # Dispatch crossover (measured same-day, 7B dims, round 5, with
     # in-grid row chunking): the bf16 resident-x kernel beats the XLA
     # dequant path at every measured M — 51.6/110.6/236.3 ms/step vs

@@ -192,14 +192,18 @@ def test_prefill_in_grid_row_chunking_matches_oracle():
     needed: block overrides keep the interpret shapes small)."""
     from fastllama_tpu.kernels import q4_matmul as qm
     import unittest.mock as mock
-    x, w, y_ref = _setup(256, 512, 256)
+    # shapes unique to this test: identical (shape, static-arg) signatures
+    # elsewhere in the file would make the mocked calls jit-cache HITS
+    # traced with the unmocked chunk bound (mg=1) — verified in review
+    x, w, y_ref = _setup(256, 512, 384)
     with mock.patch.object(qm, "_PREFILL_CHUNK_M", 128):
         # bf16-path kernel in f32 mode: exact vs oracle, mg=2
         y = qm.q4_matmul_prefill_pallas(x, w.qs, w.scales, interpret=True,
                                         w_dtype=jnp.float32, block_n=128,
                                         block_k=256, variant="nat")
-        np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-5,
-                                   atol=2e-4)
+        # the direct kernel returns the padded-N width (384 -> 512)
+        np.testing.assert_allclose(np.asarray(y)[:, :y_ref.shape[1]], y_ref,
+                                   rtol=1e-5, atol=2e-4)
         # int8 strip kernel, mg=2: matches the single-grid emulation
         y8 = qm.q4_matmul_prefill_int8(x, w.qs, w.scales, interpret=True,
                                        block_n=128, block_k=256,
@@ -207,3 +211,25 @@ def test_prefill_in_grid_row_chunking_matches_oracle():
         y8e = qm.q4_matmul_int8_xla(x, w.qs, w.scales)
         np.testing.assert_allclose(np.asarray(y8), np.asarray(y8e),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_default_int8_respects_kernel_escape_hatches(monkeypatch):
+    """With int8 default-ON (bf16 mode), the silent default must only ride
+    the kernel dispatch: use_pallas=False / FASTLLAMA_PREFILL_KERNEL=0 /
+    CPU backend keep meaning the bit-faithful bf16 dequant (round-5 review
+    finding). An explicit FASTLLAMA_PREFILL_INT8=1 still forces int8
+    semantics anywhere (via the exact emulation)."""
+    from fastllama_tpu.kernels.q4_matmul import (
+        q4_matmul, q4_matmul_int8_xla, q4_matmul_xla)
+    monkeypatch.delenv("FASTLLAMA_PREFILL_INT8", raising=False)
+    x, w, _ = _setup(256, 512, 256)
+    # default (None) + no kernel path (CPU, use_pallas=False): bf16 dequant
+    y = q4_matmul(x, w, use_pallas=False, w_dtype=jnp.bfloat16)
+    y_bf = q4_matmul_xla(x, w, w_dtype=jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(y_bf))
+    # env-forced: int8 semantics even without a kernel path
+    monkeypatch.setenv("FASTLLAMA_PREFILL_INT8", "1")
+    y8 = q4_matmul(x, w, use_pallas=False, w_dtype=jnp.bfloat16)
+    y8e = q4_matmul_int8_xla(x, w.qs, w.scales)
+    np.testing.assert_allclose(np.asarray(y8), np.asarray(y8e),
+                               rtol=1e-6, atol=1e-6)

@@ -39,19 +39,11 @@ def stall_bench(args, hp, params, vocab):
           f"{'chunked' if eng.chunked_admission else 'monolithic'}",
           flush=True)
 
-    # build the big prompt to ~430 TOKENS (the toy vocab byte-tokenizes
-    # " wN" words at ~4.3 tokens each)
-    words = []
-    i = 0
-    while True:
-        words.append(f"w{i % 700}")
-        i += 1
-        if i % 8 == 0 and len(tokenize(
-                vocab, " " + " ".join(words), bos=True)) >= 430:
-            break
-    big_prompt = " ".join(words)
+    from _trace_util import build_prompt_tokens
+    big_prompt = build_prompt_tokens(vocab, 430)
     n_big = len(tokenize(vocab, " " + big_prompt, bos=True))
-    print(f"big prompt: {len(words)} words -> {n_big} tokens", flush=True)
+    print(f"big prompt: {len(big_prompt.split())} words -> {n_big} tokens",
+          flush=True)
     assert n_big <= args.n_ctx - 4
 
     # warm all compile paths: short + big admission, decode

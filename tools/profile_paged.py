@@ -56,17 +56,11 @@ def main():
     n_words = args.prompt_words
     if args.prompt_tokens:
         from fastllama_tpu.engine.tokenizer import tokenize
-        words = []
-        i = 0
-        while True:
-            words.append(f"w{i % 700}")
-            i += 1
-            if i % 8 == 0 and len(tokenize(
-                    vocab, " " + " ".join(words), bos=True)) >= args.prompt_tokens:
-                break
-        n_words = len(words)
+        from _trace_util import build_prompt_tokens
+        prompt = build_prompt_tokens(vocab, args.prompt_tokens)
+        n_words = len(prompt.split())
         print(f"prompt: {n_words} words -> "
-              f"{len(tokenize(vocab, ' ' + ' '.join(words), bos=True))} tokens",
+              f"{len(tokenize(vocab, ' ' + prompt, bos=True))} tokens",
               file=sys.stderr)
     rcfg = RuntimeConfig(prefill_buckets=(
         min(args.n_ctx, max(16, n_words + 64)),))
