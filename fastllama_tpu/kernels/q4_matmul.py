@@ -851,6 +851,54 @@ def _q4mm_prefill_int8_strip_kernel(xq_ref, dx_ref, qs_ref, strip_ref,
                       * dx_ref[:] * s8_scr[:])
 
 
+def _q4mm_prefill_int8_pipe_kernel(xq_ref, dx_ref, qs_ref, strip_ref,
+                                   out_ref, acc_scr, s8_scr, inv_scr, w_scr,
+                                   *, bk: int, nk: int):
+    """Software-pipelined strip kernel (experimental variant "natp"): the
+    grid runs nk+1 k-steps; step kk requants weight tile kk into scratch
+    bank kk%2 (VPU) while the MXU dots tile kk-1 from the other bank —
+    the two have no data dependency, so Mosaic may overlap them (the
+    in-cell requant chain costs ~12% of the MXU cycles at M=512; the
+    fused kernel measures 79% of the int8 MXU ideal)."""
+    k_idx = pl.program_id(2)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+        s8 = jnp.maximum(jnp.max(jnp.abs(strip_ref[:]), axis=0,
+                                 keepdims=True) * (8.0 / 127.0), 1e-20)
+        s8_scr[:] = s8
+        inv_scr[:] = 1.0 / s8
+
+    @pl.when(k_idx < nk)
+    def _():
+        nbk = bk // QBLOCK
+        sc_raw = strip_ref[pl.ds(k_idx * nbk, nbk), :]
+        sc = _repeat_scales(sc_raw * inv_scr[:])
+        qs = qs_ref[:].astype(jnp.int32)
+        w_lo = jnp.round(((qs & 0x0F) - 8).astype(jnp.float32) * sc
+                         ).astype(jnp.int8)
+        w_hi = jnp.round(((qs >> 4) - 8).astype(jnp.float32) * sc
+                         ).astype(jnp.int8)
+        bkh, bn = w_lo.shape
+        nb = bkh // HALF
+        w_scr[k_idx % 2] = jnp.concatenate(
+            [w_lo.reshape(nb, HALF, bn), w_hi.reshape(nb, HALF, bn)],
+            axis=1).reshape(2 * bkh, bn)
+
+    @pl.when(k_idx > 0)
+    def _():
+        kd = k_idx - 1
+        xq = xq_ref[:, pl.ds(kd * bk, bk)]
+        acc_scr[:] += jnp.dot(xq, w_scr[kd % 2],
+                              preferred_element_type=jnp.int32)
+
+    @pl.when(k_idx == nk)
+    def _():
+        out_ref[:] = (acc_scr[:].astype(jnp.float32)
+                      * dx_ref[:] * s8_scr[:])
+
+
 @functools.partial(jax.jit, static_argnames=("block_n", "block_k",
                                               "interpret", "variant"))
 def q4_matmul_prefill_int8(x: jax.Array, qs: jax.Array, scales: jax.Array,
@@ -895,7 +943,7 @@ def q4_matmul_prefill_int8(x: jax.Array, qs: jax.Array, scales: jax.Array,
         interpret=interpret,
     )
 
-    if variant == "nat":
+    if variant in ("nat", "natp"):
         # Default path: fused one-pass activation quant (Pallas prep
         # kernel), raw scales in (s8/normalization derived in-kernel from
         # the resident strip) — the host does no per-call scale or quant
@@ -913,8 +961,28 @@ def q4_matmul_prefill_int8(x: jax.Array, qs: jax.Array, scales: jax.Array,
         strip_spec = pl.BlockSpec((k // QBLOCK, bn),
                                   lambda mi, i, kk: (0, i),
                                   memory_space=pltpu.VMEM)
+        nk = k // bk
+        if variant == "natp":
+            # software-pipelined: nk+1 k-steps; the qs tile index clamps
+            # on the extra final step (fetched but unused)
+            common["grid"] = (m // mc, n // bn, nk + 1)
+            qs_spec = pl.BlockSpec(
+                (bkh, bn),
+                lambda mi, i, kk: (jnp.minimum(kk, nk - 1), i),
+                memory_space=pltpu.VMEM)
+            kernel = functools.partial(_q4mm_prefill_int8_pipe_kernel,
+                                       bk=bk, nk=nk)
+            return pl.pallas_call(
+                kernel,
+                in_specs=[x_spec, dx_spec, qs_spec, strip_spec],
+                scratch_shapes=[pltpu.VMEM((mc, bn), jnp.int32),
+                                pltpu.VMEM((1, bn), jnp.float32),
+                                pltpu.VMEM((1, bn), jnp.float32),
+                                pltpu.VMEM((2, bk, bn), jnp.int8)],
+                **common,
+            )(xq, dx2, qs, scales)
         kernel = functools.partial(_q4mm_prefill_int8_strip_kernel, bk=bk,
-                                   nk=k // bk)
+                                   nk=nk)
         return pl.pallas_call(
             kernel,
             in_specs=[x_spec, dx_spec, qs_spec, strip_spec],
