@@ -117,8 +117,7 @@ class BatchEngine:
         measured length (B=8 7B: 766 vs 698 tok/s device aggregate; step
         9.98 vs ~11.0 ms at short lengths, 11.31 vs 11.05 near-full — the
         double-buffered page-gather kernel) and is the recommended serving
-        mode; slab stays the default for the single-allocation simplicity
-        and because chunked_admission currently requires it.
+        mode; slab stays the default for the single-allocation simplicity.
 
         drain_depth: how many decode steps the host token drain lags the
         device (None = 2 on TPU where the readback costs ~27 ms over the
@@ -229,23 +228,28 @@ class BatchEngine:
             self._decode_fn = self._build_decode()
             self._prefill_fn = self._build_prefill()
 
-        # Chunked admission (single-device slab only): the prompt advances
-        # one n_batch-sized chunk per engine step instead of one monolithic
-        # bucketed prefill, so an admission never freezes the other slots
-        # for more than ~one chunk of device time. The session's ingest-loop
-        # semantics (lib/bridge.cpp:215-232) applied to the engine.
-        self.chunked_admission = (chunked_admission and kv_mode == "slab"
-                                  and self.mesh is None)
+        # Chunked admission (single-device; slab or paged): the prompt
+        # advances one n_batch-sized chunk per engine step against a
+        # private [1, n_ctx] row cache instead of one monolithic bucketed
+        # prefill, so an admission never freezes the other slots for more
+        # than ~one chunk of device time. The session's ingest-loop
+        # semantics (lib/bridge.cpp:215-232) applied to the engine. For
+        # paged KV the finished rows scatter into the slot's pages at
+        # activation (one write_tokens_paged pass — the same writer the
+        # monolithic paged prefill uses).
+        self.chunked_admission = chunked_admission and self.mesh is None
         if chunked_admission and not self.chunked_admission:
             logger.log_warn(
-                "BatchEngine", "chunked admission supports single-device "
-                "slab KV only; falling back to monolithic admission\n")
+                "BatchEngine", "chunked admission is single-device only; "
+                "falling back to monolithic admission\n")
         self._adm: Optional[_Admission] = None
         if self.chunked_admission:
             self._adm_chunk = max(8, min(rcfg.n_batch, n_ctx))
             self._adm_kv = init_kv_cache(hp, 1, n_ctx, kv_dtype)
             self._chunk_fn = self._build_ingest_chunk()
-            self._splice_fn = self._build_splice()
+            self._splice_fn = (self._build_splice_paged()
+                               if self.pager is not None
+                               else self._build_splice())
 
     # -- compiled steps ------------------------------------------------------
 
@@ -539,6 +543,43 @@ class BatchEngine:
 
         return jax.jit(splice, donate_argnums=(0,))
 
+    def _build_splice_paged(self):
+        """Write the admission row cache's rows into the slot's pages.
+
+        On TPU: the bulk whole-page kernel (kernels/kv_write.
+        paged_kv_write_rows — the XLA flat-view scatter materialized
+        defensive copies of every pool, ~1.76 s for one 512-row splice at
+        7B). Elsewhere/unsupported shapes: the scatter. Padded tail blocks
+        carry the sentinel page id and land in the trash page."""
+        from .paged_kv import write_tokens_paged
+        from ..kernels.kv_write import (
+            paged_kv_write_rows, paged_kv_write_rows_supported,
+        )
+        h, hd = self.hp.n_head, self.hp.head_dim
+        ps = self.pager.page_size
+        on_tpu = jax.default_backend() == "tpu"
+
+        def splice(kpages, vpages, kv1, pages, offs):
+            t = pages.shape[1]
+            out_k, out_v = [], []
+            if on_tpu and paged_kv_write_rows_supported(t, ps, hd):
+                block_pages = pages[0, ::ps]
+                for (kp, vp), (k1, v1) in zip(zip(kpages, vpages), kv1):
+                    kp, vp = paged_kv_write_rows(kp, vp, k1[0, :t],
+                                                 v1[0, :t], block_pages)
+                    out_k.append(kp)
+                    out_v.append(vp)
+                return out_k, out_v
+            for (kp, vp), (k1, v1) in zip(zip(kpages, vpages), kv1):
+                k = k1[:, :t].reshape(1, t, h, hd)
+                v = v1[:, :t].reshape(1, t, h, hd)
+                kp, vp = write_tokens_paged(kp, vp, k, v, pages, offs)
+                out_k.append(kp)
+                out_v.append(vp)
+            return out_k, out_v
+
+        return jax.jit(splice, donate_argnums=(0, 1))
+
     def _start_admission(self, slot_idx: int, req: Request) -> bool:
         ids = self._tokenize_guard(req)
         if ids is None:
@@ -561,7 +602,30 @@ class BatchEngine:
             self._adm_kv, jnp.int32(r - 1))
         adm.n_done += r
         if adm.n_done >= t:
-            self.kv = self._splice_fn(self.kv, self._adm_kv, adm.slot_idx)
+            if self.pager is not None:
+                si = adm.slot_idx
+                if not self.pager.alloc_for(si, t):
+                    self.slots[si].req = None
+                    adm.req.done = True
+                    self.logger.log_err(
+                        "BatchEngine",
+                        f"request {adm.req.rid}: out of KV pages\n")
+                    self._adm = None
+                    return
+                # pad to the rows actually written (the final chunk's
+                # padded tail): sentinel ids drop those rows
+                t_pad = adm.n_done
+                pages = np.full((1, t_pad), self.pager.sentinel, np.int32)
+                offs = np.zeros((1, t_pad), np.int32)
+                pages[0, :t], offs[0, :t] = \
+                    self.pager.token_page_offsets(si, 0, t)
+                self.pager.k_pages, self.pager.v_pages = self._splice_fn(
+                    self.pager.k_pages, self.pager.v_pages, self._adm_kv,
+                    jnp.asarray(pages), jnp.asarray(offs))
+                self.pager.lengths[si] = t
+            else:
+                self.kv = self._splice_fn(self.kv, self._adm_kv,
+                                          adm.slot_idx)
             self._activate_slot(adm.slot_idx, adm.req, adm.last_logits, t)
             self._adm = None
 

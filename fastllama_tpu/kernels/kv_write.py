@@ -99,3 +99,66 @@ def paged_kv_write(k_pages: jax.Array, v_pages: jax.Array,
 def paged_kv_write_supported(ps: int, d: int) -> bool:
     """Mosaic shape gate: lane-aligned head dim; 8-row-groupable pages."""
     return d % 128 == 0 and (ps % 8 == 0 or ps < 8)
+
+
+def _kv_write_rows_kernel(pid_ref, krows_ref, vrows_ref, kin_ref, vin_ref,
+                          kout_ref, vout_ref, *, h, d):
+    del pid_ref, kin_ref, vin_ref
+    ps = krows_ref.shape[0]
+    k = krows_ref[:].reshape(ps, h, d).swapaxes(0, 1)   # [H, ps, D]
+    v = vrows_ref[:].reshape(ps, h, d).swapaxes(0, 1)
+    kout_ref[:, 0] = k.astype(kout_ref.dtype)
+    vout_ref[:, 0] = v.astype(vout_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def paged_kv_write_rows(k_pages: jax.Array, v_pages: jax.Array,
+                        k_rows: jax.Array, v_rows: jax.Array,
+                        page_ids: jax.Array,
+                        interpret: bool = False) -> tuple[jax.Array, jax.Array]:
+    """Bulk admission write: T consecutive rows -> whole pages, in place.
+
+    The chunked-admission activation scatters a finished prompt's rows
+    into the slot's pages; the XLA flat-view scatter materialized
+    defensive copies of every pool (measured ~1.76 s for one 512-row
+    splice at 7B — the round-1 single-token pathology at bulk scale).
+    Here grid step j copies row block [j*ps, (j+1)*ps) of the flat
+    [T, H*D] rows into page page_ids[j] with a single in-VMEM head-major
+    transpose; pools are donated and aliased, untouched pages never move.
+    Rows are position 0..T-1 of a fresh sequence, so every target page is
+    written WHOLE (no offset blending); sentinel ids drop padded tails.
+
+    Args:
+      k_pages/v_pages: [H, P, ps, D] pools (donated; P includes the trash
+        page absorbing sentinel writes).
+      k_rows/v_rows: [T, H*D] flat rows, T a multiple of ps.
+      page_ids: [T // ps] int32 physical page per row block.
+    """
+    h, p, ps, d = k_pages.shape
+    t = k_rows.shape[0]
+    assert t % ps == 0, (t, ps)
+    page_ids = jnp.asarray(page_ids, jnp.int32).reshape(t // ps)
+
+    rows_spec = pl.BlockSpec((ps, h * d), lambda j, pid: (j, 0))
+    pool_spec = pl.BlockSpec((h, 1, ps, d), lambda j, pid: (0, pid[j], 0, 0))
+    kernel = functools.partial(_kv_write_rows_kernel, h=h, d=d)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            in_specs=[rows_spec, rows_spec, pool_spec, pool_spec],
+            out_specs=[pool_spec, pool_spec],
+            grid=(t // ps,),
+        ),
+        out_shape=[jax.ShapeDtypeStruct(k_pages.shape, k_pages.dtype),
+                   jax.ShapeDtypeStruct(v_pages.shape, v_pages.dtype)],
+        # operands: pid(0) k_rows(1) v_rows(2) k_pages(3) v_pages(4)
+        input_output_aliases={3: 0, 4: 1},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(page_ids, k_rows, v_rows, k_pages, v_pages)
+
+
+def paged_kv_write_rows_supported(t_pad: int, ps: int, d: int) -> bool:
+    return d % 128 == 0 and ps % 8 == 0 and t_pad % ps == 0 and t_pad >= ps

@@ -231,3 +231,30 @@ def test_paged_attention_double_buffer_matches_single():
                                   interpret=True)
     np.testing.assert_allclose(np.asarray(y_db), np.asarray(y_sb),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_bulk_page_write_kernel_matches_scatter():
+    """paged_kv_write_rows (the chunked-admission activation writer) must
+    equal the XLA scatter for whole-page row blocks."""
+    import jax.numpy as jnp
+    from fastllama_tpu.engine.paged_kv import write_tokens_paged
+    from fastllama_tpu.kernels.kv_write import paged_kv_write_rows
+    rng = np.random.default_rng(1)
+    h, p, ps, d = 4, 6, 8, 128
+    kp0 = rng.standard_normal((h, p, ps, d)).astype(np.float32)
+    vp0 = rng.standard_normal((h, p, ps, d)).astype(np.float32)
+    t = 24
+    rows_k = rng.standard_normal((t, h * d)).astype(np.float32)
+    rows_v = rng.standard_normal((t, h * d)).astype(np.float32)
+    block_pages = np.array([2, 0, 4], np.int32)
+    k1, v1 = paged_kv_write_rows(jnp.asarray(kp0), jnp.asarray(vp0),
+                                 jnp.asarray(rows_k), jnp.asarray(rows_v),
+                                 jnp.asarray(block_pages), interpret=True)
+    pages = np.repeat(block_pages, ps)[None, :]
+    offs = np.tile(np.arange(ps, dtype=np.int32), 3)[None, :]
+    k2, v2 = write_tokens_paged(jnp.asarray(kp0), jnp.asarray(vp0),
+                                jnp.asarray(rows_k).reshape(1, t, h, d),
+                                jnp.asarray(rows_v).reshape(1, t, h, d),
+                                jnp.asarray(pages), jnp.asarray(offs))
+    np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))

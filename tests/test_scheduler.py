@@ -312,10 +312,36 @@ def test_chunked_admission_mid_run(tiny_model):
     assert len(first.tokens_out) >= 1 and len(late.tokens_out) >= 1
 
 
-def test_chunked_admission_falls_back_for_paged(tiny_model):
-    eng = make_engine(tiny_model, temp=0.0, kv_mode="paged", page_size=8,
-                      chunked_admission=True)
-    assert not eng.chunked_admission
-    req = Request(prompt="w1 w2", max_tokens=4)
-    eng.run([req])
-    assert req.done
+def test_chunked_admission_paged_matches_monolithic(tiny_model):
+    """Paged chunked admission (round 5): chunks run on the private slab
+    row, then one write_tokens_paged pass scatters the rows into the
+    slot's pages — greedy streams must equal the monolithic paged
+    engine's in f32."""
+    import dataclasses
+    rcfg = dataclasses.replace(RCFG, n_batch=8)
+    mono = BatchEngine(tiny_model.hp, tiny_model.params, tiny_model.vocab,
+                       n_slots=4, n_ctx=64, rcfg=rcfg, temp=0.0,
+                       kv_mode="paged", page_size=8)
+    reqs_m = [Request(prompt=f"w{i} w{i+1} w{i+2} w{i+3}", max_tokens=5)
+              for i in range(5)]
+    mono.run(reqs_m)
+
+    chk = BatchEngine(tiny_model.hp, tiny_model.params, tiny_model.vocab,
+                      n_slots=4, n_ctx=64, rcfg=rcfg, temp=0.0,
+                      kv_mode="paged", page_size=8, chunked_admission=True)
+    assert chk.chunked_admission
+    reqs_c = [Request(prompt=f"w{i} w{i+1} w{i+2} w{i+3}", max_tokens=5)
+              for i in range(5)]
+    chk.run(reqs_c)
+    for rm, rc in zip(reqs_m, reqs_c):
+        assert rc.tokens_out == rm.tokens_out, (rm.text, rc.text)
+
+
+def test_chunked_admission_paged_oom_finishes(tiny_model):
+    """Page-pool exhaustion at the activation scatter finishes the request
+    gracefully instead of wedging the admission state machine."""
+    eng = make_engine(tiny_model, n_slots=2, temp=0.7, kv_mode="paged",
+                      page_size=8, total_pages=2, chunked_admission=True)
+    reqs = [Request(prompt="w1 w2 w3 w4", max_tokens=6) for _ in range(2)]
+    eng.run(reqs)
+    assert all(r.done for r in reqs)

@@ -33,6 +33,7 @@ def stall_bench(args, hp, params, vocab):
     rcfg = RuntimeConfig(prefill_buckets=(16, 512), n_batch=64)
     eng = BatchEngine(hp, params, vocab, n_slots=args.slots,
                       n_ctx=args.n_ctx, rcfg=rcfg, temp=0.8,
+                      kv_mode=args.kv_mode,
                       drain_depth=args.drain_depth, sampling_seed=0,
                       chunked_admission=args.chunked)
     print(f"admission mode: "
