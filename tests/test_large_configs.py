@@ -51,6 +51,15 @@ def test_65b_dims_engine_admit_and_decode(kv_mode):
     from fastllama_tpu.engine.scheduler import BatchEngine, Request
     from test_session import tiny_vocab
 
+    # this test's 65B-dims arrays peak host memory; when the whole suite
+    # runs in one process, ~200 prior tests leave GBs of compiled
+    # executables + cached arrays behind (one full-suite run aborted here
+    # with a host OOM while the test passes alone) — drop them first
+    import gc
+    import jax as _jax
+    _jax.clear_caches()
+    gc.collect()
+
     hp = HyperParams(n_vocab=32000, n_embd=8192, n_head=64, n_layer=2,
                      n_rot=128)
     params = _build_model(hp, n_ff=22016, dtype_scale=0.01)
